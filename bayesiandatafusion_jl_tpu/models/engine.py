@@ -1,0 +1,522 @@
+"""The Gibbs sweep engine — ``macau()`` (reference: src/macau.jl [HIGH]).
+
+Orchestration follows SURVEY.md §4.6 exactly:
+
+  for sweep in 1..(burnin + psamples):
+    for e in entities (sequential scan):
+      if has_features(e): sample beta_e (noise-injected solve, §4.4);
+                          lambda_beta_e Gibbs (§4.5); uhat = X beta
+      (mu_e, Lambda_e) <- Normal-Wishart on U_e - uhat (§4.3)
+      all rows of U_e  <- batched precision-assembly + Cholesky MVN (§4.2)
+    for r in relations: optional alpha_r Gibbs from train residuals (§4.5)
+    predict test tuples, clamp per sample, accumulate posterior mean (§4.7)
+
+TPU design: the whole sweep is ONE jitted function over static-shaped
+bucketed layouts (ops/layout.py) — no retracing, no host round-trips inside
+a sweep.  Randomness comes from a pre-built randoms pytree (utils/rng.py)
+so the engine has an injection seam for oracle equivalence, and the default
+threefry path is sharding-stable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.lax import linalg as lxl
+
+from ..ops import layout as layout_mod
+from ..ops.cg import block_cg
+from ..ops.gramian import accumulate_mode, predict_tuples
+from ..ops.hyper import (normal_wishart_update, sample_alpha,
+                         sample_lambda_beta)
+from ..ops.mvn import chol_sample
+from ..utils.config import MacauConfig
+from ..utils.rng import DrawSpec, RandomSpec, draw_all, sweep_key
+from .data import RelationData
+
+
+# ---------------------------------------------------------------------------
+# Static problem description (hashable; closed over by the jitted sweep)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EntitySpec:
+    name: str
+    n: int
+    num_features: int
+    use_ff: bool           # direct X'X path vs blocked CG (SURVEY §4.4)
+    feat_nnz: int
+
+    @property
+    def has_features(self) -> bool:
+        return self.num_features > 0
+
+
+@dataclasses.dataclass(frozen=True)
+class RelationSpec:
+    name: str
+    arity: int
+    entity_ids: Tuple[int, ...]   # mode -> entity index
+    nnz: int
+    n_test: int
+    alpha_sample: bool
+    mean_value: float
+    class_cut: Optional[float]
+
+
+class CompiledProblem:
+    """Device arrays + static metadata for one RelationData graph."""
+
+    def __init__(self, rd: RelationData, config: MacauConfig):
+        self.config = config
+        K = config.num_latent
+        dtype = config.np_dtype()
+
+        self.entity_specs: List[EntitySpec] = []
+        ent_index = {id(e): i for i, e in enumerate(rd.entities)}
+        self.rel_specs: List[RelationSpec] = []
+
+        arrays: Dict[str, Any] = {"layouts": {}, "feat": {}, "ftf": {},
+                                  "test": {}, "train": {}}
+        # bucket shape metadata per (relation, mode) key (static)
+        self.layout_meta: Dict[str, List[Tuple[int, int]]] = {}
+
+        for ri, rel in enumerate(rd.relations):
+            mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
+            eids = tuple(ent_index[id(e)] for e in rel.entities)
+            self.rel_specs.append(RelationSpec(
+                name=rel.name, arity=rel.arity, entity_ids=eids,
+                nnz=rel.data.nnz, n_test=len(rel.test_vals),
+                alpha_sample=rel.model.alpha_sample, mean_value=mean_value,
+                class_cut=rel.class_cut))
+            centered = rel.data.vals - mean_value
+            for mode in range(rel.arity):
+                ml = layout_mod.build_mode_layout(
+                    rel.data.idx, centered, mode,
+                    rel.entities[mode].count,
+                    widths=config.bucket_widths, row_pad=config.row_pad,
+                    dtype=dtype)
+                key = f"r{ri}m{mode}"
+                self.layout_meta[key] = [(b.n_rows, b.width)
+                                         for b in ml.buckets]
+                arrays["layouts"][key] = [
+                    {"inst": jnp.asarray(b.inst),
+                     "part": [jnp.asarray(p) for p in b.part],
+                     "val": jnp.asarray(b.val, dtype),
+                     "mask": jnp.asarray(b.mask, dtype)}
+                    for b in ml.buckets]
+            if rel.test_idx.shape[0]:
+                arrays["test"][f"r{ri}"] = {
+                    "idx": jnp.asarray(rel.test_idx),
+                    "vals": jnp.asarray(rel.test_vals, dtype)}
+            if rel.model.alpha_sample:
+                arrays["train"][f"r{ri}"] = {
+                    "idx": jnp.asarray(rel.data.idx),
+                    "vals": jnp.asarray(centered, dtype)}
+
+        for ei, ent in enumerate(rd.entities):
+            nf = ent.num_features
+            use_ff = False
+            if nf:
+                pref = ent.use_ff if ent.use_ff is not None else config.use_ff
+                use_ff = (nf <= config.ff_threshold) if pref is None else bool(pref)
+                F = ent.F
+                arrays["feat"][f"e{ei}"] = {
+                    "rows": jnp.asarray(F.rows), "cols": jnp.asarray(F.cols)}
+                if use_ff:
+                    try:
+                        import scipy.sparse as sp
+                        X = sp.coo_matrix(
+                            (np.ones(F.nnz, dtype), (F.rows, F.cols)),
+                            shape=F.shape).tocsr()
+                        ftf = np.asarray((X.T @ X).todense(), dtype)
+                    except ImportError:  # pragma: no cover
+                        ftf = F.gram().astype(dtype)
+                    arrays["ftf"][f"e{ei}"] = jnp.asarray(ftf)
+            self.entity_specs.append(EntitySpec(
+                name=ent.name, n=ent.count, num_features=nf,
+                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0)))
+
+        self.arrays = arrays
+        # per-entity initial hyper values from the data model
+        self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
+        self.init_alpha = [r.model.alpha if r.model.alpha is not None
+                           else config.alpha for r in rd.relations]
+        self.random_spec = self._build_random_spec()
+
+    # -- randoms specification (static shapes; SURVEY §9.2 RNG seam) --------
+    def _build_random_spec(self) -> RandomSpec:
+        cfg = self.config
+        K = cfg.num_latent
+        nu0 = cfg.resolved_nu0()
+        spec: RandomSpec = {}
+        for ei, es in enumerate(self.entity_specs):
+            N = es.n
+            nu_star = nu0 + N
+            spec[f"e{ei}.nw_g"] = DrawSpec(
+                "gamma", (K,),
+                tuple((nu_star - i) / 2.0 for i in range(K)))
+            spec[f"e{ei}.nw_tri"] = DrawSpec("normal", (K, K))
+            spec[f"e{ei}.nw_mu"] = DrawSpec("normal", (K,))
+            spec[f"e{ei}.xi"] = DrawSpec("normal", (N, K))
+            if es.has_features:
+                F = es.num_features
+                spec[f"e{ei}.beta_e1"] = DrawSpec("normal", (N, K))
+                spec[f"e{ei}.beta_e2"] = DrawSpec("normal", (F, K))
+                if cfg.sample_lambda_beta:
+                    spec[f"e{ei}.lb_g"] = DrawSpec(
+                        "gamma", (), ((cfg.nu_beta + F * K) / 2.0,))
+        for ri, rs in enumerate(self.rel_specs):
+            if rs.alpha_sample:
+                spec[f"r{ri}.alpha_g"] = DrawSpec(
+                    "gamma", (), (cfg.alpha_a0 + rs.nnz / 2.0,))
+        return spec
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class MacauEngine:
+    """Compiled Gibbs engine for one RelationData graph."""
+
+    def __init__(self, rd: RelationData, config: MacauConfig):
+        self.rd = rd
+        self.config = config
+        self.problem = CompiledProblem(rd, config)
+        self.dtype = jnp.dtype(config.dtype)
+        self._sweep_jit = jax.jit(self._sweep_keyed, donate_argnums=(1,))
+        self._sweep_randoms_jit = jax.jit(self._sweep_with_randoms,
+                                          donate_argnums=(1,))
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Init per SURVEY §4.6: U ~ init_std*N(0,I), mu=0, Lambda=I, beta=0."""
+        cfg = self.config
+        K = cfg.num_latent
+        dtype = self.dtype
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        ents = []
+        for ei, es in enumerate(self.problem.entity_specs):
+            k = jax.random.fold_in(key, 1000 + ei)
+            ent = {
+                "U": cfg.init_std * jax.random.normal(k, (es.n, K), dtype),
+                "mu": jnp.zeros((K,), dtype),
+                "Lambda": jnp.eye(K, dtype=dtype),
+            }
+            if es.has_features:
+                ent["beta"] = jnp.zeros((es.num_features, K), dtype)
+                ent["uhat"] = jnp.zeros((es.n, K), dtype)
+                ent["lambda_beta"] = jnp.asarray(
+                    self.problem.init_lambda_beta[ei]
+                    if self.problem.init_lambda_beta[ei] is not None
+                    else cfg.lambda_beta, dtype)
+            ents.append(ent)
+        rels = [{"alpha": jnp.asarray(self.problem.init_alpha[ri], dtype)}
+                for ri in range(len(self.problem.rel_specs))]
+        preds = {}
+        for ri, rs in enumerate(self.problem.rel_specs):
+            if rs.n_test:
+                preds[f"r{ri}"] = {
+                    "sum": jnp.zeros((rs.n_test,), dtype),
+                    "sum2": jnp.zeros((rs.n_test,), dtype),
+                    "n": jnp.zeros((), dtype)}
+        return {"ent": ents, "rel": rels, "pred": preds}
+
+    # -- one sweep (jitted) --------------------------------------------------
+    def _sweep_keyed(self, arrays, state, key, accumulate):
+        randoms = draw_all(key, self.problem.random_spec, self.dtype)
+        return self._sweep_with_randoms(arrays, state, randoms, accumulate)
+
+    def _sweep_with_randoms(self, arrays, state, randoms, accumulate):
+        cfg = self.config
+        K = cfg.num_latent
+        dtype = self.dtype
+        nu0 = cfg.resolved_nu0()
+        specs = self.problem.entity_specs
+        rel_specs = self.problem.rel_specs
+        metrics: Dict[str, jax.Array] = {}
+
+        ents = list(state["ent"])
+        rels = list(state["rel"])
+
+        # ---- sequential scan over entities (SURVEY §4.2 note) ----
+        for ei, es in enumerate(specs):
+            ent = dict(ents[ei])
+            U = ent["U"]
+            Lambda = ent["Lambda"]
+
+            uhat = ent.get("uhat")
+            if es.has_features:
+                # β draw first, with current Λ (SURVEY §4.6 order)
+                ent = self._sample_beta(arrays, ent, es, ei, randoms)
+                if cfg.sample_lambda_beta:
+                    ent["lambda_beta"] = sample_lambda_beta(
+                        ent["beta"], Lambda, randoms[f"e{ei}.lb_g"],
+                        cfg.nu_beta, cfg.lambda_beta_mean)
+                uhat = ent["uhat"]
+
+            # Normal-Wishart on the residual (SURVEY §4.3)
+            S = U - uhat if uhat is not None else U
+            mu, Lambda = normal_wishart_update(
+                S, cfg.nw_b0, nu0,
+                2.0 * randoms[f"e{ei}.nw_g"],
+                randoms[f"e{ei}.nw_tri"], randoms[f"e{ei}.nw_mu"])
+            ent["mu"], ent["Lambda"] = mu, Lambda
+
+            # batched latent-row conditional (SURVEY §4.2)
+            prior_mean = jnp.broadcast_to(mu[None, :], (es.n, K))
+            if uhat is not None:
+                prior_mean = prior_mean + uhat
+            P_acc = jnp.broadcast_to(Lambda, (es.n, K, K)).astype(dtype)
+            b_acc = prior_mean @ Lambda  # Λ symmetric
+            for ri, rs in enumerate(rel_specs):
+                for mode in range(rs.arity):
+                    if rs.entity_ids[mode] != ei:
+                        continue
+                    partners = [ents[rs.entity_ids[d]]["U"]
+                                for d in range(rs.arity) if d != mode]
+                    P_acc, b_acc = accumulate_mode(
+                        P_acc, b_acc, rels[ri]["alpha"], partners,
+                        arrays["layouts"][f"r{ri}m{mode}"])
+            ent["U"] = chol_sample(P_acc, b_acc, randoms[f"e{ei}.xi"],
+                                   cfg.chol_jitter)
+            ents[ei] = ent
+            metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
+
+        # ---- noise precisions (SURVEY §4.5) ----
+        for ri, rs in enumerate(rel_specs):
+            if not rs.alpha_sample:
+                continue
+            tr = arrays["train"][f"r{ri}"]
+            factors = [ents[eid]["U"] for eid in rs.entity_ids]
+            pred_c = predict_tuples(factors, tr["idx"],
+                                    jnp.asarray(0.0, dtype))
+            sse = jnp.sum((tr["vals"] - pred_c) ** 2)
+            rels[ri] = {"alpha": sample_alpha(
+                sse, rs.nnz, randoms[f"r{ri}.alpha_g"],
+                cfg.alpha_a0, cfg.alpha_b0)}
+            metrics[f"r{ri}.alpha"] = rels[ri]["alpha"]
+
+        # ---- prediction + posterior accumulation (SURVEY §4.7) ----
+        preds = dict(state["pred"])
+        acc = jnp.asarray(accumulate, dtype)
+        for ri, rs in enumerate(rel_specs):
+            pk = f"r{ri}"
+            if pk not in preds:
+                continue
+            te = arrays["test"][pk]
+            factors = [ents[eid]["U"] for eid in rs.entity_ids]
+            p = predict_tuples(factors, te["idx"],
+                               jnp.asarray(rs.mean_value, dtype))
+            if cfg.clamp is not None:
+                p = jnp.clip(p, cfg.clamp[0], cfg.clamp[1])
+            pr = dict(preds[pk])
+            pr["sum"] = pr["sum"] + acc * p
+            pr["sum2"] = pr["sum2"] + acc * p * p
+            pr["n"] = pr["n"] + acc
+            preds[pk] = pr
+            metrics[f"{pk}.rmse_sample"] = jnp.sqrt(
+                jnp.mean((p - te["vals"]) ** 2))
+            n_eff = jnp.maximum(pr["n"], 1.0)
+            pmean = pr["sum"] / n_eff
+            metrics[f"{pk}.rmse_avg"] = jnp.sqrt(
+                jnp.mean((pmean - te["vals"]) ** 2))
+
+        new_state = {"ent": ents, "rel": rels, "pred": preds}
+        return new_state, metrics
+
+    def _sample_beta(self, arrays, ent, es: EntitySpec, ei: int, randoms):
+        """Noise-injected exact Gibbs draw of beta (SURVEY §4.4)."""
+        cfg = self.config
+        dtype = self.dtype
+        U, mu, Lambda = ent["U"], ent["mu"], ent["Lambda"]
+        lam = ent["lambda_beta"]
+        feat = arrays["feat"][f"e{ei}"]
+        rows, cols = feat["rows"], feat["cols"]
+        N, F = es.n, es.num_features
+
+        # E rows ~ N(0, Lambda^{-1}):  e = L^{-T} z  (L = chol(Lambda))
+        L = lxl.cholesky(Lambda)
+        def colored(z):  # [n, K] @ -> rows with cov Lambda^{-1}
+            return lxl.triangular_solve(L, z.T, left_side=True, lower=True,
+                                        transpose_a=True).T
+        E1 = colored(randoms[f"e{ei}.beta_e1"])
+        E2 = colored(randoms[f"e{ei}.beta_e2"])
+
+        resid = U - mu[None, :] + E1
+        Xt_resid = jax.ops.segment_sum(resid[rows], cols, num_segments=F)
+        rhs = Xt_resid + jnp.sqrt(lam) * E2
+
+        if es.use_ff:
+            A = arrays["ftf"][f"e{ei}"] + lam * jnp.eye(F, dtype=dtype)
+            Lf = lxl.cholesky(A)
+            y = lxl.triangular_solve(Lf, rhs, left_side=True, lower=True)
+            beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
+                                        transpose_a=True)
+        else:
+            def matvec(V):
+                XV = jax.ops.segment_sum(V[cols], rows, num_segments=N,
+                                         indices_are_sorted=True)
+                return (jax.ops.segment_sum(XV[rows], cols, num_segments=F)
+                        + lam * V)
+            beta, _ = block_cg(matvec, rhs, ent["beta"],
+                               tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+
+        uhat = jax.ops.segment_sum(beta[cols], rows, num_segments=N,
+                                   indices_are_sorted=True)
+        out = dict(ent)
+        out["beta"], out["uhat"] = beta, uhat
+        return out
+
+    # -- driver loop ---------------------------------------------------------
+    def run(self, state: Optional[Dict[str, Any]] = None,
+            key: Optional[jax.Array] = None,
+            num_sweeps: Optional[int] = None,
+            sweep_offset: int = 0,
+            callback=None) -> Dict[str, Any]:
+        """Run burnin + psamples sweeps; returns the reference-style results.
+
+        ``callback(sweep, phase, metrics, dt)`` is invoked per sweep.
+        """
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        if state is None:
+            state = self.init_state(jax.random.fold_in(key, 0))
+        total = (cfg.burnin + cfg.psamples if num_sweeps is None
+                 else num_sweeps)
+        history = []
+        for s in range(sweep_offset, total):
+            t0 = time.perf_counter()
+            skey = sweep_key(key, s + 1)
+            accumulate = 1.0 if s >= cfg.burnin else 0.0
+            state, metrics = self._sweep_jit(self.problem.arrays, state,
+                                             skey, accumulate)
+            metrics = {k: float(v) for k, v in
+                       jax.device_get(metrics).items()}
+            dt = time.perf_counter() - t0
+            phase = "burnin" if s < cfg.burnin else "sample"
+            metrics["time"] = dt
+            history.append(metrics)
+            if callback is not None:
+                callback(s, phase, metrics, dt)
+            if cfg.verbose:
+                self._print_sweep(s, phase, metrics, state)
+        return self._results(state, history)
+
+    def _print_sweep(self, s, phase, metrics, state):
+        parts = [f"sweep {s + 1:4d} [{phase:6s}]"]
+        for ri, rs in enumerate(self.problem.rel_specs):
+            k = f"r{ri}.rmse_avg"
+            if k in metrics:
+                parts.append(f"{rs.name}: RMSE={metrics[k]:.4f} "
+                             f"(sample {metrics[f'r{ri}.rmse_sample']:.4f})")
+        parts.append(f"{metrics['time']:.3f}s")
+        print("  ".join(parts), flush=True)
+
+    def _results(self, state, history) -> Dict[str, Any]:
+        """Reference-style result dict (SURVEY §4.6 return contract)."""
+        out: Dict[str, Any] = {"state": state, "history": history}
+        state_np = jax.device_get(state)
+        for ri, rs in enumerate(self.problem.rel_specs):
+            pk = f"r{ri}"
+            if pk not in state_np["pred"]:
+                continue
+            pr = state_np["pred"][pk]
+            n = max(float(pr["n"]), 1.0)
+            pmean = pr["sum"] / n
+            pvar = np.maximum(pr["sum2"] / n - pmean ** 2, 0.0)
+            te_idx = np.asarray(self.problem.arrays["test"][pk]["idx"])
+            te_val = np.asarray(self.problem.arrays["test"][pk]["vals"])
+            rmse = float(np.sqrt(np.mean((pmean - te_val) ** 2)))
+            rel_out = {
+                "RMSE": rmse,
+                "predictions": {
+                    "idx": te_idx, "obs": te_val,
+                    "pred": pmean, "stdev": np.sqrt(pvar)},
+            }
+            if rs.class_cut is not None:
+                obs_cls = te_val < rs.class_cut
+                rel_out["AUC"] = _auc(obs_cls, -pmean)
+                rel_out["accuracy"] = float(
+                    np.mean((pmean < rs.class_cut) == obs_cls))
+            out[rs.name] = rel_out
+            if ri == 0:
+                out.update({k: v for k, v in rel_out.items()
+                            if k != "predictions"})
+                out["predictions"] = rel_out["predictions"]
+        return out
+
+    # -- checkpoint/resume (SURVEY §7.4) ------------------------------------
+    def save_state(self, path: str, state, sweep: int) -> None:
+        flat, treedef = jax.tree_util.tree_flatten(jax.device_get(state))
+        np.savez(path, sweep=sweep, n_leaves=len(flat),
+                 **{f"leaf{i}": a for i, a in enumerate(flat)})
+
+    def load_state(self, path: str):
+        z = np.load(path)
+        template = self.init_state()
+        flat, treedef = jax.tree_util.tree_flatten(template)
+        leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(flat))]
+        return (jax.tree_util.tree_unflatten(treedef, leaves),
+                int(z["sweep"]))
+
+
+def _auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Binary AUC via the rank statistic."""
+    pos = scores[labels]
+    neg = scores[~labels]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    order = np.argsort(np.concatenate([pos, neg]), kind="stable")
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    # midranks for ties
+    allv = np.concatenate([pos, neg])
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    r_pos = ranks[:len(pos)].sum()
+    n_p, n_n = len(pos), len(neg)
+    return float((r_pos - n_p * (n_p + 1) / 2.0) / (n_p * n_n))
+
+
+# ---------------------------------------------------------------------------
+# Public entry point — mirrors macau(rd; kwargs...) [HIGH]
+# ---------------------------------------------------------------------------
+
+def macau(data: RelationData,
+          num_latent: int = 10,
+          burnin: int = 500,
+          psamples: int = 200,
+          clamp: Optional[Sequence[float]] = None,
+          verbose: bool = True,
+          seed: int = 1234,
+          config: Optional[MacauConfig] = None,
+          **kwargs) -> Dict[str, Any]:
+    """Bayesian factorization of a RelationData graph via Gibbs sampling.
+
+    Reference entry point: ``macau(rd; num_latent=10, burnin=500,
+    psamples=200, clamp, verbose, ...)`` — src/macau.jl [HIGH], SURVEY §4.6.
+    Extra kwargs are forwarded into MacauConfig.
+    """
+    if config is None:
+        config = MacauConfig(
+            num_latent=num_latent, burnin=burnin, psamples=psamples,
+            clamp=tuple(clamp) if clamp is not None else None,
+            verbose=verbose, seed=seed, **kwargs)
+    engine = MacauEngine(data, config)
+    return engine.run()

@@ -1,0 +1,59 @@
+"""Blocked conjugate-gradient solver for the side-information link matrix.
+
+Reference: the matrix-free beta solve — ``(X'X + lambda I) B = RHS`` with K
+right-hand sides solved simultaneously, matvec ``w = X'(X v) + lambda v``
+on the sparse binary feature matrix, never forming X'X (src/macau.jl /
+src/sparsebinmatrix.jl [MED], SURVEY.md §4.4).  The reference parallelizes
+the matvec across Julia workers (ParallelSBM); here the matvec is two
+segment-sums that shard over the nnz axis under shard_map (psum-reduced —
+SURVEY §3 parallelism table).
+
+K columns run as simultaneous vector-CG recurrences sharing matvecs
+(per-column scalar step sizes), under ``lax.while_loop`` with static shapes.
+Warm-started from the previous sweep's beta (SURVEY §9.2).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def block_cg(
+    matvec: Callable[[jax.Array], jax.Array],
+    rhs: jax.Array,       # [F, K]
+    x0: jax.Array,        # [F, K] warm start
+    tol: float = 1e-6,
+    maxiter: int = 200,
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve A x = rhs for SPD A, K columns at once. Returns (x, n_iters)."""
+    dtype = rhs.dtype
+    rhs_nrm2 = jnp.maximum(jnp.sum(rhs * rhs, axis=0),
+                           jnp.asarray(1e-30, dtype))  # [K]
+    tol2 = jnp.asarray(tol * tol, dtype)
+
+    r0 = rhs - matvec(x0)
+    rs0 = jnp.sum(r0 * r0, axis=0)
+
+    def cond(state):
+        _, _, _, rs, it = state
+        return jnp.logical_and(it < maxiter,
+                               jnp.max(rs / rhs_nrm2) > tol2)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap, axis=0)
+        safe = denom > 0
+        a = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
+        x = x + a * p
+        r = r - a * Ap
+        rs_new = jnp.sum(r * r, axis=0)
+        b = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
+        p = r + b * p
+        return (x, r, p, rs_new, it + 1)
+
+    x, r, p, rs, it = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, rs0, jnp.asarray(0, jnp.int32)))
+    return x, it

@@ -1,0 +1,71 @@
+"""Per-instance precision/rhs assembly over bucketed observations.
+
+This is the hot kernel of the whole engine (reference: the per-row loop in
+``sample_user`` — src/macau.jl [MED], SURVEY.md §4.2/§5.4):
+
+    P_i = Lambda + sum_r alpha_r * sum_{o in Omega_i^r} z_o z_o^T
+    b_i = Lambda (mu + beta^T x_i) + sum_r alpha_r * sum_o (v_o - mean_r) z_o
+
+where z_o is the Hadamard product of the other modes' latent rows.  TPU
+formulation: for each fixed-width bucket, gather partner latents into a dense
+``[rows, W, K]`` block, form the batched Gramian with one MXU einsum, and
+scatter-add into dense ``[N, K, K]`` / ``[N, K]`` accumulators keyed by
+instance id.  Chunked head instances accumulate via the same scatter-add.
+
+A fused Pallas gather+Gramian kernel (kernels in ops/pallas_gramian.py) can
+replace the gather+einsum per bucket; this XLA path is the portable
+reference and the fallback.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def bucket_gramian(
+    partner_factors: Sequence[jax.Array],  # (arity-1) x [N_d, K]
+    part: Sequence[jax.Array],             # (arity-1) x [rows, W] int32
+    val: jax.Array,                        # [rows, W]
+    mask: jax.Array,                       # [rows, W]
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row Gramian and rhs contribution of one bucket (without alpha).
+
+    Returns (P [rows, K, K], b [rows, K]).
+    """
+    z = jnp.take(partner_factors[0], part[0], axis=0)  # [rows, W, K]
+    for U, p in zip(partner_factors[1:], part[1:]):
+        z = z * jnp.take(U, p, axis=0)                 # Hadamard (tensor modes)
+    zm = z * mask[..., None]
+    P = jnp.einsum("rwk,rwl->rkl", zm, zm)
+    b = jnp.einsum("rwk,rw->rk", zm, val)  # val is 0-padded; mask harmless
+    return P, b
+
+
+def accumulate_mode(
+    P_acc: jax.Array,                      # [N, K, K]
+    b_acc: jax.Array,                      # [N, K]
+    alpha: jax.Array,                      # scalar
+    partner_factors: Sequence[jax.Array],
+    bucket_arrays: Sequence[Dict[str, jax.Array]],  # per bucket: inst/part/val/mask
+) -> Tuple[jax.Array, jax.Array]:
+    """Add one (relation, mode)'s contributions into the accumulators."""
+    for ba in bucket_arrays:
+        P, b = bucket_gramian(partner_factors, ba["part"], ba["val"], ba["mask"])
+        inst = ba["inst"]
+        P_acc = P_acc.at[inst].add(alpha * P)
+        b_acc = b_acc.at[inst].add(alpha * b)
+    return P_acc, b_acc
+
+
+def predict_tuples(
+    factors: Sequence[jax.Array],  # D x [N_d, K]
+    idx: jax.Array,                # [n, D] int32
+    mean_value: jax.Array,         # scalar
+) -> jax.Array:
+    """pred = mean_r + sum_k prod_d U_d[i_d, k]  (SURVEY §4.7)."""
+    z = jnp.take(factors[0], idx[:, 0], axis=0)
+    for d in range(1, len(factors)):
+        z = z * jnp.take(factors[d], idx[:, d], axis=0)
+    return mean_value + jnp.sum(z, axis=-1)

@@ -1,0 +1,158 @@
+"""Sparse binary feature matrices and their TPU matvec path.
+
+Reference counterpart: ``SparseBinMatrix`` (Int32 row/col COO arrays with
+allocation-free ``A_mul_B!``/``At_mul_B!``) and its worker-distributed
+``ParallelSBM`` — src/sparsebinmatrix.jl [MED], SURVEY.md §3/§5.3.
+
+TPU design: the matvec is a gather + segment-sum over the nnz axis —
+``(X v)[i] = sum_{n: row_n = i} v[col_n]`` (binary X means no multiplies).
+Rows are kept sorted by row index so XLA can use the sorted-segment path.
+The multi-device equivalent of ParallelSBM shards the nnz axis and psums
+partial segment sums (see parallel/sharded.py).
+
+Also includes the sparse I/O helpers the reference ships for ECFP feature
+files (read/write of row/col index binary files; src/... [LOW]).
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SparseBinMatrix:
+    """Binary sparse matrix in COO form (host-side, NumPy int32).
+
+    ``rows``/``cols`` are 0-based int32, sorted lexicographically by
+    (row, col).  Values are implicitly 1.
+    """
+
+    rows: np.ndarray  # [nnz] int32
+    cols: np.ndarray  # [nnz] int32
+    shape: Tuple[int, int]
+
+    def __post_init__(self):
+        self.rows = np.asarray(self.rows, np.int32)
+        self.cols = np.asarray(self.cols, np.int32)
+        order = np.lexsort((self.cols, self.rows))
+        if not np.all(order == np.arange(len(order))):
+            self.rows = self.rows[order]
+            self.cols = self.cols[order]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.rows.shape[0])
+
+    @classmethod
+    def from_scipy(cls, m) -> "SparseBinMatrix":
+        coo = m.tocoo()
+        return cls(coo.row.astype(np.int32), coo.col.astype(np.int32),
+                   (int(coo.shape[0]), int(coo.shape[1])))
+
+    @classmethod
+    def from_dense(cls, m: np.ndarray) -> "SparseBinMatrix":
+        r, c = np.nonzero(np.asarray(m))
+        return cls(r.astype(np.int32), c.astype(np.int32), tuple(m.shape))
+
+    def to_dense(self) -> np.ndarray:
+        d = np.zeros(self.shape, np.float64)
+        d[self.rows, self.cols] = 1.0
+        return d
+
+    # -- host-side (NumPy) products, mirroring A_mul_B!/At_mul_B! ------------
+    def matmul(self, v: np.ndarray) -> np.ndarray:
+        """X @ v  (v: [F] or [F, K])."""
+        out = np.zeros((self.shape[0],) + v.shape[1:], v.dtype)
+        np.add.at(out, self.rows, v[self.cols])
+        return out
+
+    def t_matmul(self, v: np.ndarray) -> np.ndarray:
+        """X.T @ v  (v: [N] or [N, K])."""
+        out = np.zeros((self.shape[1],) + v.shape[1:], v.dtype)
+        np.add.at(out, self.cols, v[self.rows])
+        return out
+
+    def gram(self) -> np.ndarray:
+        """Dense X'X (the ``use_FF`` precompute; feasible for small F)."""
+        F = self.shape[1]
+        g = np.zeros((F, F), np.float64)
+        # group by row; accumulate outer products of each row's support
+        order = np.argsort(self.rows, kind="stable")
+        rows, cols = self.rows[order], self.cols[order]
+        starts = np.searchsorted(rows, np.arange(self.shape[0]))
+        ends = np.searchsorted(rows, np.arange(self.shape[0]) + 1)
+        for s, e in zip(starts, ends):
+            idx = cols[s:e]
+            g[np.ix_(idx, idx)] += 1.0
+        return g
+
+
+# ---------------------------------------------------------------------------
+# Device-side ops (jit-safe): COO arrays live on device as int32.
+# ---------------------------------------------------------------------------
+
+def spmm(rows: jax.Array, cols: jax.Array, n_rows: int, v: jax.Array) -> jax.Array:
+    """y = X @ v for binary COO X (rows sorted). v: [F, K] -> y: [N, K]."""
+    return jax.ops.segment_sum(v[cols], rows, num_segments=n_rows,
+                               indices_are_sorted=True)
+
+
+def spmm_t(rows: jax.Array, cols: jax.Array, n_cols: int, u: jax.Array) -> jax.Array:
+    """y = X.T @ u for binary COO X. u: [N, K] -> y: [F, K]."""
+    return jax.ops.segment_sum(u[rows], cols, num_segments=n_cols,
+                               indices_are_sorted=False)
+
+
+# ---------------------------------------------------------------------------
+# Sparse binary I/O (reference ships .sbm-style row/col index files [LOW]).
+# Format here: magic, int64 nrow/ncol/nnz, then int32 rows then int32 cols
+# (0-based).  ``read_sparse_float64`` handles an optional float64 value block
+# (values are ignored for binary feature use).
+# ---------------------------------------------------------------------------
+
+_MAGIC = b"SBM1"
+
+
+def write_sparse_binary(path: str, m: SparseBinMatrix) -> None:
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<qqq", m.shape[0], m.shape[1], m.nnz))
+        f.write(m.rows.astype("<i4").tobytes())
+        f.write(m.cols.astype("<i4").tobytes())
+
+
+def read_sparse_binary(path: str) -> SparseBinMatrix:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an SBM1 file")
+        nrow, ncol, nnz = struct.unpack("<qqq", f.read(24))
+        rows = np.frombuffer(f.read(4 * nnz), "<i4").copy()
+        cols = np.frombuffer(f.read(4 * nnz), "<i4").copy()
+    return SparseBinMatrix(rows, cols, (int(nrow), int(ncol)))
+
+
+def write_sparse_float64(path: str, rows: np.ndarray, cols: np.ndarray,
+                         vals: np.ndarray, shape: Tuple[int, int]) -> None:
+    with open(path, "wb") as f:
+        f.write(b"SBF1")
+        f.write(struct.pack("<qqq", shape[0], shape[1], len(vals)))
+        f.write(np.asarray(rows, "<i4").tobytes())
+        f.write(np.asarray(cols, "<i4").tobytes())
+        f.write(np.asarray(vals, "<f8").tobytes())
+
+
+def read_sparse_float64(path: str):
+    with open(path, "rb") as f:
+        if f.read(4) != b"SBF1":
+            raise ValueError(f"{path}: not an SBF1 file")
+        nrow, ncol, nnz = struct.unpack("<qqq", f.read(24))
+        rows = np.frombuffer(f.read(4 * nnz), "<i4").copy()
+        cols = np.frombuffer(f.read(4 * nnz), "<i4").copy()
+        vals = np.frombuffer(f.read(8 * nnz), "<f8").copy()
+    return rows, cols, vals, (int(nrow), int(ncol))

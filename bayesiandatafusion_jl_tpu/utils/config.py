@@ -1,0 +1,70 @@
+"""Typed configuration for the Gibbs engine.
+
+The reference exposes everything as keyword arguments on ``macau()`` plus
+mutable fields on Entity/Relation (``setPrecision!`` etc.) — see SURVEY.md §7.6
+(reference: src/macau.jl, kwarg set [MED]).  Here those knobs live in one
+dataclass so the compiled sweep is parameterized statically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MacauConfig:
+    """Engine configuration.
+
+    Mirrors ``macau(rd; num_latent, burnin, psamples, clamp, verbose, ...)``
+    from the reference (src/macau.jl, SURVEY.md §4.6) plus TPU-layout knobs
+    that have no reference counterpart.
+    """
+
+    num_latent: int = 10
+    burnin: int = 500
+    psamples: int = 200
+    # Clamp predictions (per posterior sample, before averaging — SURVEY §4.7)
+    clamp: Optional[Tuple[float, float]] = None
+    verbose: bool = True
+    seed: int = 1234
+
+    # --- priors / hyperparameters (SURVEY §4.1) ---
+    # Normal-Wishart hyperprior: mu0=0, b0=2, W0=I, nu0=K
+    nw_b0: float = 2.0
+    # nu0 defaults to num_latent (set at compile time if None)
+    nw_nu0: Optional[float] = None
+    # Link-matrix regularizer lambda_beta: initial value + Gamma hyperprior
+    lambda_beta: float = 1.0
+    sample_lambda_beta: bool = True
+    nu_beta: float = 1e-3          # weak Gamma hyperprior strength [MED]
+    lambda_beta_mean: float = 1.0  # prior mean of lambda_beta [MED]
+    # Noise precision alpha: fixed 5.0 by default; optional Gamma sampling
+    alpha: float = 5.0
+    alpha_sample: bool = False
+    alpha_a0: float = 1e-3
+    alpha_b0: float = 1e-3
+
+    # --- init ---
+    init_std: float = 0.3  # latent init scale: U ~ init_std * N(0, I) [LOW]
+
+    # --- numerics ---
+    dtype: str = "float32"      # compute dtype ("float64" for CPU oracle-equivalence)
+    chol_jitter: float = 0.0    # added to diag of per-row precision before Cholesky
+
+    # --- beta solver (SURVEY §4.4) ---
+    use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold
+    ff_threshold: int = 4096
+    cg_tol: float = 1e-6
+    cg_maxiter: int = 200
+
+    # --- TPU layout (no reference counterpart; SURVEY §9.0) ---
+    bucket_widths: Sequence[int] = (8, 32, 128, 512, 2048)
+    row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
+
+    def np_dtype(self):
+        return np.dtype(self.dtype)
+
+    def resolved_nu0(self) -> float:
+        return float(self.num_latent if self.nw_nu0 is None else self.nw_nu0)
