@@ -65,8 +65,10 @@ def draw_all_numpy(rng: np.random.Generator, spec: RandomSpec, dtype=np.float64)
         if d.kind == "normal":
             out[name] = rng.standard_normal(d.shape).astype(dtype)
         elif d.kind == "gamma":
-            a = np.broadcast_to(np.asarray(d.gamma_a, np.float64), d.shape)
-            out[name] = rng.gamma(shape=a, scale=1.0).astype(dtype)
+            a = np.asarray(d.gamma_a, np.float64).reshape(-1)
+            a = np.broadcast_to(a, d.shape) if d.shape else a[0]
+            g = rng.gamma(shape=a, scale=1.0)
+            out[name] = np.asarray(g, dtype).reshape(d.shape)
         else:
             raise ValueError(f"unknown draw kind {d.kind}")
     return out

@@ -1,0 +1,116 @@
+"""Unit tests for the numerical kernels: Cholesky-MVN, Bartlett Wishart,
+Normal-Wishart conditional, block CG."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats
+
+from bayesiandatafusion_jl_tpu.ops.cg import block_cg
+from bayesiandatafusion_jl_tpu.ops.hyper import (bartlett_wishart,
+                                                 normal_wishart_update)
+from bayesiandatafusion_jl_tpu.ops.mvn import chol_sample, chol_solve
+
+
+def _spd(rng, k, batch=()):
+    a = rng.standard_normal(batch + (k, k))
+    return a @ np.swapaxes(a, -1, -2) + k * np.eye(k)
+
+
+def test_chol_solve_matches_numpy():
+    rng = np.random.default_rng(0)
+    P = _spd(rng, 5, (7,))
+    b = rng.standard_normal((7, 5))
+    x = np.asarray(chol_solve(jnp.asarray(P), jnp.asarray(b)))
+    want = np.stack([np.linalg.solve(P[i], b[i]) for i in range(7)])
+    np.testing.assert_allclose(x, want, rtol=1e-10)
+
+
+def test_chol_sample_mean_and_cov():
+    # u = mu* + L^{-T} xi must have mean P^{-1} b and covariance P^{-1}
+    rng = np.random.default_rng(1)
+    K = 3
+    P = _spd(rng, K)
+    b = rng.standard_normal(K)
+    n = 200_000
+    xi = jnp.asarray(rng.standard_normal((n, K)))
+    Pb = jnp.broadcast_to(jnp.asarray(P), (n, K, K))
+    bb = jnp.broadcast_to(jnp.asarray(b), (n, K))
+    u = np.asarray(chol_sample(Pb, bb, xi))
+    mean_want = np.linalg.solve(P, b)
+    cov_want = np.linalg.inv(P)
+    np.testing.assert_allclose(u.mean(0), mean_want, atol=4e-2)
+    np.testing.assert_allclose(np.cov(u.T), cov_want, atol=4e-2)
+
+
+def test_bartlett_wishart_mean():
+    # E[Wishart(V, nu)] = nu * V
+    rng = np.random.default_rng(2)
+    K, nu, n = 3, 10.0, 20_000
+    V = _spd(rng, K)
+    Vinv = np.linalg.inv(V)
+    M = np.linalg.cholesky(Vinv)
+    acc = np.zeros((K, K))
+    chi2 = 2.0 * rng.gamma(np.broadcast_to((nu - np.arange(K)) / 2.0,
+                                           (n, K)))
+    normals = rng.standard_normal((n, K, K))
+    lam, _ = jax.vmap(lambda c, z: bartlett_wishart(c, z, jnp.asarray(M)))(
+        jnp.asarray(chi2), jnp.asarray(normals))
+    mean = np.asarray(lam).mean(0)
+    np.testing.assert_allclose(mean, nu * V, rtol=6e-2)
+
+
+def test_normal_wishart_posterior_concentration():
+    # with many residual rows of known covariance C, E[Lambda] -> C^{-1}
+    rng = np.random.default_rng(3)
+    K, N = 3, 50_000
+    C = _spd(rng, K) / 10
+    S = rng.standard_normal((N, K)) @ np.linalg.cholesky(C).T
+    nu0 = float(K)
+    draws = []
+    for t in range(30):
+        chi2 = 2.0 * rng.gamma((nu0 + N - np.arange(K)) / 2.0)
+        mu, lam = normal_wishart_update(
+            jnp.asarray(S), 2.0, nu0, jnp.asarray(chi2),
+            jnp.asarray(rng.standard_normal((K, K))),
+            jnp.asarray(rng.standard_normal(K)))
+        draws.append(np.asarray(lam))
+    np.testing.assert_allclose(np.mean(draws, 0), np.linalg.inv(C),
+                               rtol=0.15)
+
+
+def test_block_cg_matches_direct():
+    rng = np.random.default_rng(4)
+    F, K = 40, 5
+    X = (rng.random((60, F)) < 0.3).astype(np.float64)
+    lam = 0.7
+    A = X.T @ X + lam * np.eye(F)
+    rhs = rng.standard_normal((F, K))
+    want = np.linalg.solve(A, rhs)
+    Xj = jnp.asarray(X)
+
+    def matvec(v):
+        return Xj.T @ (Xj @ v) + lam * v
+
+    x, iters = block_cg(matvec, jnp.asarray(rhs),
+                        jnp.zeros((F, K)), tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(x), want, rtol=1e-8, atol=1e-8)
+    assert int(iters) < 500
+
+
+def test_block_cg_warm_start_fewer_iters():
+    rng = np.random.default_rng(5)
+    F, K = 60, 4
+    X = (rng.random((80, F)) < 0.3).astype(np.float64)
+    A = X.T @ X + 0.5 * np.eye(F)
+    rhs = rng.standard_normal((F, K))
+    want = np.linalg.solve(A, rhs)
+    Xj = jnp.asarray(X)
+
+    def matvec(v):
+        return Xj.T @ (Xj @ v) + 0.5 * v
+
+    _, it_cold = block_cg(matvec, jnp.asarray(rhs), jnp.zeros((F, K)),
+                          tol=1e-10, maxiter=500)
+    _, it_warm = block_cg(matvec, jnp.asarray(rhs),
+                          jnp.asarray(want + 1e-6), tol=1e-10, maxiter=500)
+    assert int(it_warm) < int(it_cold)

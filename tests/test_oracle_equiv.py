@@ -1,0 +1,141 @@
+"""RNG-injection equivalence: the TPU engine vs the NumPy f64 oracle.
+
+SURVEY.md §6/§9.5: both consume the SAME randoms pytree; per-sweep factor
+updates must match to float64 tolerance.  This is the contract standing in
+for "reproduce the reference's per-sweep factor updates exactly given
+identical RNG streams" (BASELINE.json north_star).
+"""
+import numpy as np
+import pytest
+
+import bayesiandatafusion_jl_tpu as bdf
+from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+from bayesiandatafusion_jl_tpu.utils.rng import draw_all_numpy
+from oracle.oracle import OracleMacau
+
+import jax
+
+
+def _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-8, check_beta=False,
+               check_alpha=False):
+    eng = MacauEngine(rd, cfg)
+    oracle = OracleMacau(rd, cfg)
+
+    key = jax.random.key(cfg.seed)
+    state = eng.init_state(jax.random.fold_in(key, 0))
+    ost = oracle.init_state([np.asarray(e["U"], np.float64)
+                             for e in state["ent"]])
+
+    rng = np.random.default_rng(999)
+    for s in range(n_sweeps):
+        randoms = draw_all_numpy(rng, eng.problem.random_spec)
+        jrandoms = {k: jax.numpy.asarray(v) for k, v in randoms.items()}
+        state, _ = eng._sweep_randoms_jit(eng.problem.arrays, state,
+                                          jrandoms, 0.0)
+        oracle.sweep(ost, randoms)
+        for ei in range(len(rd.entities)):
+            np.testing.assert_allclose(
+                np.asarray(state["ent"][ei]["U"]), ost.U[ei], rtol=rtol,
+                atol=rtol, err_msg=f"U mismatch sweep {s} entity {ei}")
+            np.testing.assert_allclose(
+                np.asarray(state["ent"][ei]["mu"]), ost.mu[ei], rtol=rtol,
+                atol=rtol, err_msg=f"mu mismatch sweep {s} entity {ei}")
+            np.testing.assert_allclose(
+                np.asarray(state["ent"][ei]["Lambda"]), ost.Lambda[ei],
+                rtol=rtol, atol=rtol,
+                err_msg=f"Lambda mismatch sweep {s} entity {ei}")
+            if check_beta and "beta" in state["ent"][ei]:
+                np.testing.assert_allclose(
+                    np.asarray(state["ent"][ei]["beta"]), ost.beta[ei],
+                    rtol=rtol, atol=rtol,
+                    err_msg=f"beta mismatch sweep {s} entity {ei}")
+                np.testing.assert_allclose(
+                    float(state["ent"][ei]["lambda_beta"]),
+                    ost.lambda_beta[ei], rtol=rtol,
+                    err_msg=f"lambda_beta mismatch sweep {s}")
+        if check_alpha:
+            for ri in range(len(rd.relations)):
+                np.testing.assert_allclose(
+                    float(state["rel"][ri]["alpha"]), ost.alpha[ri],
+                    rtol=rtol, err_msg=f"alpha mismatch sweep {s} rel {ri}")
+
+
+def _matrix_rd(rng, n1=22, n2=17, density=0.5, **rd_kwargs):
+    R = rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < density
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, R[mask], (n1, n2))
+    return bdf.RelationData.from_matrix(df, **rd_kwargs)
+
+
+def test_bpmf_equivalence():
+    rng = np.random.default_rng(0)
+    rd = _matrix_rd(rng)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=11)
+    _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_bpmf_equivalence_with_head_chunking():
+    # one very dense column forces chunked accumulation across buckets
+    rng = np.random.default_rng(4)
+    n1, n2 = 64, 9
+    R = rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.4
+    mask[:, 0] = True  # head instance: degree 64 > widest test bucket
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, R[mask], (n1, n2))
+    rd = bdf.RelationData.from_indexed_df(df)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      bucket_widths=(4, 16), seed=12)
+    _run_equiv(rd, cfg, n_sweeps=2)
+
+
+def test_macau_ff_equivalence():
+    rng = np.random.default_rng(1)
+    feat = (rng.random((22, 13)) < 0.3).astype(np.float64)
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      use_ff=True, seed=13)
+    _run_equiv(rd, cfg, n_sweeps=3, check_beta=True)
+
+
+def test_macau_cg_equivalence():
+    rng = np.random.default_rng(2)
+    feat = (rng.random((22, 13)) < 0.3).astype(np.float64)
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      use_ff=False, cg_tol=1e-12, seed=14)
+    # CG converges to solver tolerance, not machine eps
+    _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-6, check_beta=True)
+
+
+def test_tensor_equivalence():
+    rng = np.random.default_rng(3)
+    shape = (9, 8, 5)
+    T = rng.standard_normal(shape)
+    mask = rng.random(shape) < 0.4
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, T[mask], shape)
+    rd = bdf.RelationData.from_indexed_df(df)
+    cfg = MacauConfig(num_latent=2, verbose=False, dtype="float64", seed=15)
+    _run_equiv(rd, cfg, n_sweeps=2)
+
+
+def test_multirelation_alpha_equivalence():
+    rng = np.random.default_rng(5)
+    nc, nt, na = 15, 12, 7
+    e_c, e_t, e_a = (bdf.Entity(n, count=c)
+                     for n, c in [("c", nc), ("t", nt), ("a", na)])
+    rd = bdf.RelationData()
+    for name, ents, shp in [("r1", [e_c, e_t], (nc, nt)),
+                            ("r2", [e_c, e_a], (nc, na))]:
+        R = rng.standard_normal(shp)
+        mask = rng.random(shp) < 0.5
+        rd.add_relation(
+            bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], shp),
+            name, ents)
+    rd.set_precision("r1", 5.0, sample=True)
+    rd.set_precision("r2", 2.0, sample=True)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=16)
+    _run_equiv(rd, cfg, n_sweeps=3, check_alpha=True)
