@@ -1,0 +1,133 @@
+"""Canonical workloads: MovieLens ratings and ChEMBL-IC50-shaped data.
+
+The reference's README drives MovieLens (ratings RMSE, ``clamp=[1,5]``) and
+ChEMBL IC50 with ECFP side features (``class_cut = log10(200)``) — SURVEY.md
+§1.  This sandbox has zero egress, so each loader falls back to a
+shape-matched synthetic generator (power-law degree skew included, since
+head-entity skew is exactly what the bucketed layout must handle).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .data import Entity, IndexedDF, RelationData
+
+# ChEMBL activity threshold used by the reference README [HIGH; SURVEY §1]
+CLASS_CUT_IC50 = float(np.log10(200))
+
+_ML_SHAPES = {
+    "100k": (943, 1682, 100_000),
+    "1m": (6040, 3706, 1_000_209),
+    "10m": (71567, 10681, 10_000_054),
+}
+
+
+def load_movielens(variant: str = "100k",
+                   path: Optional[str] = None,
+                   seed: int = 0) -> IndexedDF:
+    """MovieLens ratings as an IndexedDF (user x movie).
+
+    If ``path`` points at a ``u.data`` / ``ratings.dat`` file, parse it;
+    otherwise generate a synthetic dataset with the right shape, sparsity,
+    skew and a rank-32 latent signal (ratings in [1, 5]).
+    """
+    if path is not None and os.path.exists(path):
+        return _parse_movielens_file(path)
+    n_users, n_movies, nnz = _ML_SHAPES[variant]
+    return synthetic_ratings(n_users, n_movies, nnz, seed=seed)
+
+
+def _parse_movielens_file(path: str) -> IndexedDF:
+    seps = {"u.data": "\t", "ratings.dat": "::", "ratings.csv": ","}
+    sep = next((s for k, s in seps.items() if path.endswith(k)), None)
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line[0].isalpha():  # header
+                continue
+            parts = line.strip().split(sep) if sep else line.split()
+            rows.append((int(parts[0]), int(parts[1]), float(parts[2])))
+    arr = np.asarray(rows)
+    users = arr[:, 0].astype(np.int64)
+    movies = arr[:, 1].astype(np.int64)
+    _, users = np.unique(users, return_inverse=True)
+    _, movies = np.unique(movies, return_inverse=True)
+    idx = np.stack([users, movies], axis=1)
+    return IndexedDF(idx, arr[:, 2],
+                     (int(users.max()) + 1, int(movies.max()) + 1))
+
+
+def synthetic_ratings(n_users: int, n_movies: int, nnz: int,
+                      rank: int = 32, noise: float = 0.6,
+                      seed: int = 0) -> IndexedDF:
+    """Rank-``rank`` ratings matrix sample with power-law movie popularity
+    and lognormal user activity (matches MovieLens-like skew: head movies
+    carry thousands of ratings; SURVEY §9.2)."""
+    rng = np.random.default_rng(seed)
+    # popularity / activity profiles
+    movie_p = (1.0 / np.arange(1, n_movies + 1) ** 0.8)
+    movie_p /= movie_p.sum()
+    user_p = rng.lognormal(0.0, 1.0, n_users)
+    user_p /= user_p.sum()
+    # oversample then dedup to reach nnz unique pairs
+    target = nnz
+    got_u = np.zeros(0, np.int64)
+    got_m = np.zeros(0, np.int64)
+    while len(got_u) < target:
+        need = int((target - len(got_u)) * 1.35) + 1024
+        u = rng.choice(n_users, size=need, p=user_p)
+        m = rng.choice(n_movies, size=need, p=movie_p)
+        key = u.astype(np.int64) * n_movies + m
+        key = np.unique(np.concatenate(
+            [got_u * n_movies + got_m, key]))
+        got_u, got_m = key // n_movies, key % n_movies
+    sel = rng.permutation(len(got_u))[:target]
+    u, m = got_u[sel], got_m[sel]
+    # rank-`rank` signal scaled into the star range
+    U = rng.standard_normal((n_users, rank)) / np.sqrt(rank)
+    V = rng.standard_normal((n_movies, rank)) / np.sqrt(rank)
+    vals = 3.5 + 1.1 * np.sum(U[u] * V[m], axis=1) \
+        + noise * rng.standard_normal(target)
+    vals = np.clip(np.round(vals * 2) / 2, 1.0, 5.0)
+    idx = np.stack([u, m], axis=1)
+    return IndexedDF(idx, vals, (n_users, n_movies))
+
+
+def synthetic_chembl(n_compounds: int = 15_000, n_targets: int = 346,
+                     n_features: int = 32_000, nnz: int = 300_000,
+                     feat_per_compound: int = 40, rank: int = 16,
+                     seed: int = 0) -> RelationData:
+    """ChEMBL-IC50-shaped fusion problem: compound x target pIC50 with
+    sparse binary ECFP-like compound features driving the latents
+    (SURVEY §1: the Macau paper's benchmark shape)."""
+    rng = np.random.default_rng(seed)
+    # sparse binary features
+    fr = np.repeat(np.arange(n_compounds),
+                   rng.poisson(feat_per_compound, n_compounds))
+    fc = rng.integers(0, n_features, len(fr))
+    feat_key = np.unique(fr.astype(np.int64) * n_features + fc)
+    fr, fc = feat_key // n_features, feat_key % n_features
+    from ..ops.sparse import SparseBinMatrix
+    F = SparseBinMatrix(fr.astype(np.int32), fc.astype(np.int32),
+                        (n_compounds, n_features))
+    # latents partially explained by features
+    beta = rng.standard_normal((n_features, rank)) * 0.15
+    Uc = F.matmul(beta) / np.sqrt(feat_per_compound) \
+        + 0.4 * rng.standard_normal((n_compounds, rank))
+    Ut = rng.standard_normal((n_targets, rank))
+    c = rng.integers(0, n_compounds, int(nnz * 1.3))
+    t = rng.integers(0, n_targets, int(nnz * 1.3))
+    key = np.unique(c.astype(np.int64) * n_targets + t)[:nnz]
+    c, t = key // n_targets, key % n_targets
+    pic50 = 6.0 + np.sum(Uc[c] * Ut[t], axis=1) / np.sqrt(rank) \
+        + 0.3 * rng.standard_normal(len(c))
+    df = IndexedDF(np.stack([c, t], axis=1), pic50,
+                   (n_compounds, n_targets))
+    rd = RelationData.from_matrix(df, feat1=F,
+                                  names=("compound", "target"),
+                                  relation_name="ic50",
+                                  class_cut=CLASS_CUT_IC50)
+    return rd

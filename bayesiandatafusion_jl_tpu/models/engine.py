@@ -147,35 +147,42 @@ class CompiledProblem:
         self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
         self.init_alpha = [r.model.alpha if r.model.alpha is not None
                            else config.alpha for r in rd.relations]
-        self.random_spec = self._build_random_spec()
+        self.random_spec = build_random_spec(self.entity_specs,
+                                             self.rel_specs, config)
 
-    # -- randoms specification (static shapes; SURVEY §9.2 RNG seam) --------
-    def _build_random_spec(self) -> RandomSpec:
-        cfg = self.config
-        K = cfg.num_latent
-        nu0 = cfg.resolved_nu0()
-        spec: RandomSpec = {}
-        for ei, es in enumerate(self.entity_specs):
-            N = es.n
-            nu_star = nu0 + N
-            spec[f"e{ei}.nw_g"] = DrawSpec(
-                "gamma", (K,),
-                tuple((nu_star - i) / 2.0 for i in range(K)))
-            spec[f"e{ei}.nw_tri"] = DrawSpec("normal", (K, K))
-            spec[f"e{ei}.nw_mu"] = DrawSpec("normal", (K,))
-            spec[f"e{ei}.xi"] = DrawSpec("normal", (N, K))
-            if es.has_features:
-                F = es.num_features
-                spec[f"e{ei}.beta_e1"] = DrawSpec("normal", (N, K))
-                spec[f"e{ei}.beta_e2"] = DrawSpec("normal", (F, K))
-                if cfg.sample_lambda_beta:
-                    spec[f"e{ei}.lb_g"] = DrawSpec(
-                        "gamma", (), ((cfg.nu_beta + F * K) / 2.0,))
-        for ri, rs in enumerate(self.rel_specs):
-            if rs.alpha_sample:
-                spec[f"r{ri}.alpha_g"] = DrawSpec(
-                    "gamma", (), (cfg.alpha_a0 + rs.nnz / 2.0,))
-        return spec
+
+def build_random_spec(entity_specs, rel_specs, cfg: MacauConfig) -> RandomSpec:
+    """Randoms specification — static shapes only (SURVEY §9.2 RNG seam).
+
+    Shared by the single-device and sharded engines so that both consume
+    identical threefry streams (draws are made in the ORIGINAL instance
+    order; the sharded engine permutes them into its hash-partitioned
+    layout), which is what makes results sharding-independent.
+    """
+    K = cfg.num_latent
+    nu0 = cfg.resolved_nu0()
+    spec: RandomSpec = {}
+    for ei, es in enumerate(entity_specs):
+        N = es.n
+        nu_star = nu0 + N
+        spec[f"e{ei}.nw_g"] = DrawSpec(
+            "gamma", (K,),
+            tuple((nu_star - i) / 2.0 for i in range(K)))
+        spec[f"e{ei}.nw_tri"] = DrawSpec("normal", (K, K))
+        spec[f"e{ei}.nw_mu"] = DrawSpec("normal", (K,))
+        spec[f"e{ei}.xi"] = DrawSpec("normal", (N, K))
+        if es.has_features:
+            F = es.num_features
+            spec[f"e{ei}.beta_e1"] = DrawSpec("normal", (N, K))
+            spec[f"e{ei}.beta_e2"] = DrawSpec("normal", (F, K))
+            if cfg.sample_lambda_beta:
+                spec[f"e{ei}.lb_g"] = DrawSpec(
+                    "gamma", (), ((cfg.nu_beta + F * K) / 2.0,))
+    for ri, rs in enumerate(rel_specs):
+        if rs.alpha_sample:
+            spec[f"r{ri}.alpha_g"] = DrawSpec(
+                "gamma", (), (cfg.alpha_a0 + rs.nnz / 2.0,))
+    return spec
 
 
 # ---------------------------------------------------------------------------

@@ -53,11 +53,29 @@ def normal_wishart_update(
 
     Returns (mu, Lambda).
     """
-    N, K = S.shape
-    dtype = S.dtype
+    N, _ = S.shape
     Sbar = jnp.mean(S, axis=0)
     Sc = S - Sbar
     scatter = Sc.T @ Sc
+    return normal_wishart_from_moments(N, Sbar, scatter, b0, nu0, chi2,
+                                       tri_normals, mu_normals)
+
+
+def normal_wishart_from_moments(
+    N: int,
+    Sbar: jax.Array,       # [K] residual mean (psum-reduced when sharded)
+    scatter: jax.Array,    # [K, K] centered scatter matrix
+    b0: float,
+    nu0: float,
+    chi2: jax.Array,
+    tri_normals: jax.Array,
+    mu_normals: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """NW draw from sufficient statistics — the shard_map path computes
+    (Sbar, scatter) with psum over the instance shards and every device
+    makes the identical replicated draw."""
+    K = Sbar.shape[0]
+    dtype = Sbar.dtype
     b_star = b0 + N
     mu_star = (N * Sbar) / b_star                      # mu0 = 0
     Winv_star = (jnp.eye(K, dtype=dtype) + scatter

@@ -1,0 +1,605 @@
+"""Multi-device Gibbs engine: hash-partitioned entities under shard_map.
+
+This is the TPU-native replacement for the reference's entire distributed
+story (``ParallelSBM`` worker matvecs + one-node parallel row sampling —
+SURVEY.md §3/§7.7/§7.8), designed per the north star (BASELINE.json):
+
+  - every entity's instances are **hash-partitioned** across the 1-D device
+    mesh (a device-count-independent permutation, parallel/mesh.py), so
+    per-shard nnz is balanced in expectation and factor state is
+    comparable across topologies;
+  - each device assembles Gramians and samples ONLY its instance shard
+    (bucketed layouts are built per shard at compile time);
+  - freshly sampled factor shards are exchanged by **all_gather** over the
+    mesh axis, so the next entity's Gramian gathers read a replicated
+    factor matrix (ICI all-gather of a few MB);
+  - the blocked-CG beta solve runs the matvec on the row-sharded feature
+    matrix and **psum**s the X'(Xv) reduction — the ParallelSBM
+    equivalent;
+  - Normal-Wishart / lambda_beta / alpha conditionals reduce sufficient
+    statistics with psum and then every device makes the identical
+    replicated draw from the shared randoms pytree.
+
+Randoms are drawn in ORIGINAL instance order with the same spec as the
+single-device engine and permuted into the shard layout, so a sharded run
+reproduces the single-device run to float tolerance (reduction order is
+the only difference) — the determinism-under-resharding test of SURVEY
+§7.2 relies on this.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.lax import linalg as lxl
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models.data import RelationData
+from ..models.engine import (EntitySpec, MacauEngine, RelationSpec, _auc,
+                             build_random_spec)
+from ..ops import layout as layout_mod
+from ..ops.cg import block_cg
+from ..ops.gramian import accumulate_mode, predict_tuples
+from ..ops.hyper import (normal_wishart_from_moments, sample_alpha,
+                         sample_lambda_beta)
+from ..ops.mvn import chol_sample
+from ..utils.config import MacauConfig
+from ..utils.rng import draw_all, sweep_key
+from .mesh import AXIS, data_mesh, instance_permutation
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEntityMeta:
+    n: int          # real instance count
+    n_pad: int      # padded to a multiple of n_dev
+    n_loc: int      # per-device shard size
+
+
+class ShardedProblem:
+    """Per-device bucketed layouts + sharded feature/test/train arrays."""
+
+    def __init__(self, rd: RelationData, config: MacauConfig, n_dev: int):
+        self.config = config
+        self.n_dev = n_dev
+        dtype = config.np_dtype()
+
+        ent_index = {id(e): i for i, e in enumerate(rd.entities)}
+        self.entity_specs: List[EntitySpec] = []
+        self.rel_specs: List[RelationSpec] = []
+        self.ent_meta: List[ShardedEntityMeta] = []
+        self.perms: List[np.ndarray] = []      # position -> original id
+        pos_of: List[np.ndarray] = []          # original id -> position
+
+        for ei, ent in enumerate(rd.entities):
+            n = ent.count
+            perm = instance_permutation(n, ei)
+            inv = np.empty(n, np.int64)
+            inv[perm] = np.arange(n)
+            n_pad = _ceil_to(n, n_dev)
+            self.perms.append(perm)
+            pos_of.append(inv)
+            self.ent_meta.append(ShardedEntityMeta(n, n_pad, n_pad // n_dev))
+
+        arrays_sh: Dict[str, Any] = {"layouts": {}, "feat": {}, "test": {},
+                                     "train": {}, "rowmask": {}}
+        arrays_rep: Dict[str, Any] = {"ftf": {}}
+        self.test_meta: Dict[int, Dict[str, Any]] = {}
+
+        for ri, rel in enumerate(rd.relations):
+            mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
+            eids = tuple(ent_index[id(e)] for e in rel.entities)
+            self.rel_specs.append(RelationSpec(
+                name=rel.name, arity=rel.arity, entity_ids=eids,
+                nnz=rel.data.nnz, n_test=len(rel.test_vals),
+                alpha_sample=rel.model.alpha_sample, mean_value=mean_value,
+                class_cut=rel.class_cut))
+            # remap observation indices into permuted positions
+            idx_p = np.stack([pos_of[eids[d]][rel.data.idx[:, d]]
+                              for d in range(rel.arity)], axis=1)
+            centered = rel.data.vals - mean_value
+            for mode in range(rel.arity):
+                meta = self.ent_meta[eids[mode]]
+                owner = idx_p[:, mode] // meta.n_loc
+                per_dev = []
+                for d in range(n_dev):
+                    sel = owner == d
+                    loc_idx = idx_p[sel].copy()
+                    loc_idx[:, mode] -= d * meta.n_loc  # localize focus mode
+                    per_dev.append(layout_mod.build_mode_layout(
+                        loc_idx, centered[sel], mode, meta.n_loc,
+                        widths=config.bucket_widths, row_pad=config.row_pad,
+                        dtype=dtype))
+                arrays_sh["layouts"][f"r{ri}m{mode}"] = \
+                    self._stack_layouts(per_dev, rel.arity, dtype)
+
+            if rel.test_idx.shape[0]:
+                t_idx = np.stack([pos_of[eids[d]][rel.test_idx[:, d]]
+                                  for d in range(rel.arity)], axis=1)
+                arrays_sh["test"][f"r{ri}"], counts = self._shard_tuples(
+                    t_idx, rel.test_vals.astype(dtype), dtype)
+                self.test_meta[ri] = {
+                    "orig_idx": rel.test_idx.copy(),
+                    "vals": rel.test_vals.copy(),
+                    "counts": counts}
+            if rel.model.alpha_sample:
+                arrays_sh["train"][f"r{ri}"], _ = self._shard_tuples(
+                    idx_p, centered.astype(dtype), dtype)
+
+        for ei, ent in enumerate(rd.entities):
+            meta = self.ent_meta[ei]
+            nf = ent.num_features
+            use_ff = False
+            if nf:
+                pref = ent.use_ff if ent.use_ff is not None else config.use_ff
+                use_ff = (nf <= config.ff_threshold) if pref is None \
+                    else bool(pref)
+                F = ent.F
+                rows_p = pos_of[ei][F.rows]       # permuted positions
+                owner = rows_p // meta.n_loc
+                max_nnz = _ceil_to(max(int((owner == d).sum())
+                                       for d in range(n_dev)) or 1, 8)
+                lr = np.zeros((n_dev, max_nnz), np.int32)
+                lc = np.full((n_dev, max_nnz), nf, np.int32)  # pad col = F
+                for d in range(n_dev):
+                    sel = owner == d
+                    cnt = int(sel.sum())
+                    lr[d, :cnt] = rows_p[sel] - d * meta.n_loc
+                    lc[d, :cnt] = F.cols[sel]
+                arrays_sh["feat"][f"e{ei}"] = {
+                    "rows": jnp.asarray(lr), "cols": jnp.asarray(lc)}
+                if use_ff:
+                    import scipy.sparse as sp
+                    X = sp.coo_matrix(
+                        (np.ones(F.nnz, dtype), (F.rows, F.cols)),
+                        shape=F.shape).tocsr()
+                    arrays_rep["ftf"][f"e{ei}"] = jnp.asarray(
+                        np.asarray((X.T @ X).todense(), dtype))
+            self.entity_specs.append(EntitySpec(
+                name=ent.name, n=ent.count, num_features=nf,
+                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0)))
+            rm = np.zeros((n_dev, meta.n_loc), dtype)
+            rm.reshape(-1)[:meta.n] = 1.0
+            arrays_sh["rowmask"][f"e{ei}"] = jnp.asarray(rm)
+
+        self.arrays_sh = arrays_sh
+        self.arrays_rep = arrays_rep
+        self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
+        self.init_alpha = [r.model.alpha for r in rd.relations]
+        self.random_spec = build_random_spec(self.entity_specs,
+                                             self.rel_specs, config)
+
+    def _stack_layouts(self, per_dev, arity, dtype):
+        """Unify bucket widths across devices, pad rows, stack on axis 0."""
+        n_dev = len(per_dev)
+        widths = sorted({b.width for ml in per_dev for b in ml.buckets})
+        out = []
+        for w in widths:
+            per = [next((b for b in ml.buckets if b.width == w), None)
+                   for ml in per_dev]
+            rows = max(b.n_rows if b else 0 for b in per)
+            rows = _ceil_to(max(rows, self.config.row_pad),
+                            self.config.row_pad)
+            inst = np.zeros((n_dev, rows), np.int32)
+            part = [np.zeros((n_dev, rows, w), np.int32)
+                    for _ in range(arity - 1)]
+            val = np.zeros((n_dev, rows, w), dtype)
+            mask = np.zeros((n_dev, rows, w), dtype)
+            for d, b in enumerate(per):
+                if b is None:
+                    continue
+                inst[d, :b.n_rows] = b.inst
+                for k in range(arity - 1):
+                    part[k][d, :b.n_rows] = b.part[k]
+                val[d, :b.n_rows] = b.val
+                mask[d, :b.n_rows] = b.mask
+            out.append({"inst": jnp.asarray(inst),
+                        "part": [jnp.asarray(p) for p in part],
+                        "val": jnp.asarray(val), "mask": jnp.asarray(mask)})
+        return out
+
+    def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):
+        """Block-partition a tuple list across devices (sequential order)."""
+        n = idx.shape[0]
+        n_dev = self.n_dev
+        per = _ceil_to(max(-(-n // n_dev), 1), 8)
+        D = idx.shape[1]
+        out_idx = np.zeros((n_dev, per, D), np.int32)
+        out_val = np.zeros((n_dev, per), dtype)
+        out_w = np.zeros((n_dev, per), dtype)
+        counts = []
+        for d in range(n_dev):
+            s, e = d * per, min((d + 1) * per, n)
+            cnt = max(e - s, 0)
+            counts.append(cnt)
+            if cnt:
+                out_idx[d, :cnt] = idx[s:e]
+                out_val[d, :cnt] = vals[s:e]
+                out_w[d, :cnt] = 1.0
+        return ({"idx": jnp.asarray(out_idx), "vals": jnp.asarray(out_val),
+                 "w": jnp.asarray(out_w)}, counts)
+
+
+class ShardedMacauEngine:
+    """shard_map Gibbs engine over a 1-D device mesh (API mirrors
+    MacauEngine; SURVEY §7.7)."""
+
+    def __init__(self, rd: RelationData, config: MacauConfig,
+                 mesh: Optional[Mesh] = None):
+        self.rd = rd
+        self.config = config
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.problem = ShardedProblem(rd, config, self.n_dev)
+        self.dtype = jnp.dtype(config.dtype)
+
+        p = self.problem
+        specs_sh = jax.tree.map(lambda _: P(AXIS), p.arrays_sh)
+        specs_rep = jax.tree.map(lambda _: P(), p.arrays_rep)
+        state_rep_t, state_sh_t = self.init_state()
+        s_rep_spec = jax.tree.map(lambda _: P(), state_rep_t)
+        s_sh_spec = jax.tree.map(lambda _: P(AXIS), state_sh_t)
+        rnd_sh_spec, rnd_rep_spec = self._randoms_specs()
+
+        local = partial(_local_sweep, p)
+        shmap = jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(specs_sh, specs_rep, s_rep_spec, s_sh_spec,
+                      rnd_sh_spec, rnd_rep_spec, P()),
+            out_specs=(s_rep_spec, s_sh_spec, P()),
+            check_vma=False)
+
+        def keyed(arrays_sh, arrays_rep, state_rep, state_sh, key, acc):
+            randoms = draw_all(key, p.random_spec, self.dtype)
+            rnd_sh, rnd_rep = self._split_randoms(randoms)
+            return shmap(arrays_sh, arrays_rep, state_rep, state_sh,
+                         rnd_sh, rnd_rep, acc)
+
+        self._sweep_jit = jax.jit(keyed, donate_argnums=(2, 3))
+        self._shmap = shmap
+
+    # -- randoms routing -----------------------------------------------------
+    def _sharded_names(self):
+        out = {}
+        for ei, es in enumerate(self.problem.entity_specs):
+            out[f"e{ei}.xi"] = ei
+            if es.has_features:
+                out[f"e{ei}.beta_e1"] = ei
+        return out
+
+    def _randoms_specs(self):
+        sh, rep = {}, {}
+        shard_names = self._sharded_names()
+        for name in self.problem.random_spec:
+            if name in shard_names:
+                sh[name] = P(AXIS)
+            else:
+                rep[name] = P()
+        return sh, rep
+
+    def _split_randoms(self, randoms):
+        """Permute+pad per-instance draws into the shard layout."""
+        sh, rep = {}, {}
+        shard_names = self._sharded_names()
+        for name, arr in randoms.items():
+            if name in shard_names:
+                ei = shard_names[name]
+                meta = self.problem.ent_meta[ei]
+                perm = jnp.asarray(self.problem.perms[ei])
+                a = jnp.take(arr, perm, axis=0)
+                pad = meta.n_pad - meta.n
+                if pad:
+                    a = jnp.concatenate(
+                        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                sh[name] = a
+            else:
+                rep[name] = arr
+        return sh, rep
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, key: Optional[jax.Array] = None):
+        """Replicated + sharded state halves.
+
+        U init matches MacauEngine.init_state draws (original order), then
+        permutes into shard layout — so single-device and sharded runs
+        start identically.
+        """
+        cfg = self.config
+        K = cfg.num_latent
+        dtype = self.dtype
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        state_rep: Dict[str, Any] = {"ent": [], "rel": []}
+        state_sh: Dict[str, Any] = {"uhat": {}, "pred": {}}
+        for ei, es in enumerate(self.problem.entity_specs):
+            meta = self.problem.ent_meta[ei]
+            k = jax.random.fold_in(key, 1000 + ei)
+            U0 = cfg.init_std * jax.random.normal(k, (es.n, K), dtype)
+            U0 = jnp.take(U0, jnp.asarray(self.problem.perms[ei]), axis=0)
+            if meta.n_pad > meta.n:
+                U0 = jnp.concatenate(
+                    [U0, jnp.zeros((meta.n_pad - meta.n, K), dtype)])
+            ent = {"U": U0, "mu": jnp.zeros((K,), dtype),
+                   "Lambda": jnp.eye(K, dtype=dtype)}
+            if es.has_features:
+                ent["beta"] = jnp.zeros((es.num_features, K), dtype)
+                ent["lambda_beta"] = jnp.asarray(
+                    self.problem.init_lambda_beta[ei], dtype)
+                state_sh["uhat"][f"e{ei}"] = jnp.zeros(
+                    (self.n_dev, meta.n_loc, K), dtype)
+            state_rep["ent"].append(ent)
+        for ri in range(len(self.problem.rel_specs)):
+            state_rep["rel"].append(
+                {"alpha": jnp.asarray(self.problem.init_alpha[ri], dtype)})
+        for ri, rs in enumerate(self.problem.rel_specs):
+            if rs.n_test:
+                per = self.problem.arrays_sh["test"][f"r{ri}"]["w"].shape[1]
+                state_sh["pred"][f"r{ri}"] = {
+                    "sum": jnp.zeros((self.n_dev, per), dtype),
+                    "sum2": jnp.zeros((self.n_dev, per), dtype),
+                    "n": jnp.zeros((self.n_dev,), dtype)}
+        return state_rep, state_sh
+
+    # -- driver --------------------------------------------------------------
+    def run(self, state=None, key: Optional[jax.Array] = None,
+            num_sweeps: Optional[int] = None, sweep_offset: int = 0,
+            callback=None) -> Dict[str, Any]:
+        import time
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        if state is None:
+            state = self.init_state(jax.random.fold_in(key, 0))
+        state_rep, state_sh = state
+        total = (cfg.burnin + cfg.psamples if num_sweeps is None
+                 else num_sweeps)
+        history = []
+        p = self.problem
+        for s in range(sweep_offset, total):
+            t0 = time.perf_counter()
+            acc = 1.0 if s >= cfg.burnin else 0.0
+            state_rep, state_sh, metrics = self._sweep_jit(
+                p.arrays_sh, p.arrays_rep, state_rep, state_sh,
+                sweep_key(key, s + 1), acc)
+            metrics = {k: float(v)
+                       for k, v in jax.device_get(metrics).items()}
+            dt = time.perf_counter() - t0
+            metrics["time"] = dt
+            history.append(metrics)
+            phase = "burnin" if s < cfg.burnin else "sample"
+            if callback is not None:
+                callback(s, phase, metrics, dt)
+            if cfg.verbose:
+                print(f"sweep {s+1:4d} [{phase}] " + " ".join(
+                    f"{k}={v:.4f}" for k, v in metrics.items()
+                    if k.endswith("rmse_avg")) + f" {dt:.3f}s", flush=True)
+        return self._results((state_rep, state_sh), history)
+
+    def _results(self, state, history):
+        state_rep, state_sh = state
+        out: Dict[str, Any] = {"state": state, "history": history}
+        sh_np = jax.device_get(state_sh)
+        for ri, rs in enumerate(self.problem.rel_specs):
+            pk = f"r{ri}"
+            if pk not in sh_np["pred"]:
+                continue
+            meta = self.problem.test_meta[ri]
+            pr = sh_np["pred"][pk]
+            n = max(float(pr["n"][0]), 1.0)
+            # strip per-device padding and restore original order
+            chunks_m, chunks_v = [], []
+            for d, cnt in enumerate(meta["counts"]):
+                chunks_m.append(pr["sum"][d, :cnt] / n)
+                chunks_v.append(pr["sum2"][d, :cnt] / n)
+            pmean = np.concatenate(chunks_m) if chunks_m else np.zeros(0)
+            psq = np.concatenate(chunks_v) if chunks_v else np.zeros(0)
+            pvar = np.maximum(psq - pmean ** 2, 0.0)
+            te_val = meta["vals"]
+            rmse = float(np.sqrt(np.mean((pmean - te_val) ** 2)))
+            rel_out = {"RMSE": rmse,
+                       "predictions": {"idx": meta["orig_idx"],
+                                       "obs": te_val, "pred": pmean,
+                                       "stdev": np.sqrt(pvar)}}
+            if rs.class_cut is not None:
+                obs_cls = te_val < rs.class_cut
+                rel_out["AUC"] = _auc(obs_cls, -pmean)
+                rel_out["accuracy"] = float(
+                    np.mean((pmean < rs.class_cut) == obs_cls))
+            out[rs.name] = rel_out
+            if ri == 0:
+                out.update({k: v for k, v in rel_out.items()
+                            if k != "predictions"})
+                out["predictions"] = rel_out["predictions"]
+        return out
+
+    def factors_original_order(self, state_rep) -> List[np.ndarray]:
+        """U matrices back in original instance order (for tests/inspection)."""
+        out = []
+        for ei, es in enumerate(self.problem.entity_specs):
+            U = np.asarray(jax.device_get(state_rep["ent"][ei]["U"]))
+            perm = self.problem.perms[ei]
+            orig = np.empty((es.n, U.shape[1]), U.dtype)
+            orig[perm] = U[:es.n]  # position p holds original id perm[p]
+            out.append(orig)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# The per-device sweep body (runs under shard_map)
+# ---------------------------------------------------------------------------
+
+def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
+                 state_rep, state_sh, rnd_sh, rnd_rep, accumulate):
+    cfg = problem.config
+    K = cfg.num_latent
+    dtype = jnp.dtype(cfg.dtype)
+    nu0 = cfg.resolved_nu0()
+    me = jax.lax.axis_index(AXIS)
+    psum = partial(jax.lax.psum, axis_name=AXIS)
+
+    # strip the leading (length-1 local) device axis from stacked arrays
+    def loc(tree):
+        return jax.tree.map(lambda x: x[0], tree)
+
+    layouts = loc(arrays_sh["layouts"])
+    rowmask = loc(arrays_sh["rowmask"])
+    tests = loc(arrays_sh["test"])
+    trains = loc(arrays_sh["train"])
+    feats = loc(arrays_sh["feat"])
+    uhat_sh = loc(state_sh["uhat"])
+    preds = loc(state_sh["pred"])
+
+    ents = [dict(e) for e in state_rep["ent"]]
+    rels = [dict(r) for r in state_rep["rel"]]
+    metrics: Dict[str, jax.Array] = {}
+
+    for ei, es in enumerate(problem.entity_specs):
+        meta = problem.ent_meta[ei]
+        ent = ents[ei]
+        Lambda = ent["Lambda"]
+        offset = me * meta.n_loc
+        U_loc = jax.lax.dynamic_slice_in_dim(ent["U"], offset, meta.n_loc, 0)
+        w_row = rowmask[f"e{ei}"]                       # [n_loc]
+        uhat_loc = uhat_sh.get(f"e{ei}")
+
+        if es.has_features:
+            beta, uhat_loc = _sample_beta_sharded(
+                problem, ei, es, feats[f"e{ei}"],
+                arrays_rep["ftf"].get(f"e{ei}"), ent, U_loc,
+                rnd_sh[f"e{ei}.beta_e1"], rnd_rep[f"e{ei}.beta_e2"], psum)
+            ent["beta"] = beta
+            uhat_sh[f"e{ei}"] = uhat_loc
+            if cfg.sample_lambda_beta:
+                ent["lambda_beta"] = sample_lambda_beta(
+                    beta, Lambda, rnd_rep[f"e{ei}.lb_g"],
+                    cfg.nu_beta, cfg.lambda_beta_mean)
+
+        # --- Normal-Wishart from psum-reduced moments (SURVEY §4.3) ---
+        S_loc = U_loc - uhat_loc if uhat_loc is not None else U_loc
+        n_real = es.n
+        Sbar = psum(jnp.sum(S_loc * w_row[:, None], axis=0)) / n_real
+        Sc = (S_loc - Sbar) * w_row[:, None]
+        scatter = psum(Sc.T @ Sc)
+        mu, Lambda = normal_wishart_from_moments(
+            n_real, Sbar, scatter, cfg.nw_b0, nu0,
+            2.0 * rnd_rep[f"e{ei}.nw_g"], rnd_rep[f"e{ei}.nw_tri"],
+            rnd_rep[f"e{ei}.nw_mu"])
+        ent["mu"], ent["Lambda"] = mu, Lambda
+
+        # --- local Gramian assembly + batched sample (SURVEY §4.2) ---
+        prior_mean = jnp.broadcast_to(mu[None, :], (meta.n_loc, K))
+        if uhat_loc is not None:
+            prior_mean = prior_mean + uhat_loc
+        P_acc = jnp.broadcast_to(Lambda, (meta.n_loc, K, K)).astype(dtype)
+        b_acc = prior_mean @ Lambda
+        for ri, rs in enumerate(problem.rel_specs):
+            for mode in range(rs.arity):
+                if rs.entity_ids[mode] != ei:
+                    continue
+                partners = [ents[rs.entity_ids[d]]["U"]
+                            for d in range(rs.arity) if d != mode]
+                P_acc, b_acc = accumulate_mode(
+                    P_acc, b_acc, rels[ri]["alpha"], partners,
+                    layouts[f"r{ri}m{mode}"])
+        xi_loc = rnd_sh[f"e{ei}.xi"]
+        U_new_loc = chol_sample(P_acc, b_acc, xi_loc, cfg.chol_jitter)
+        # --- factor exchange: all-gather the freshly sampled shard ---
+        ent["U"] = jax.lax.all_gather(U_new_loc, AXIS, axis=0, tiled=True)
+        ents[ei] = ent
+        metrics[f"e{ei}.unorm"] = jnp.sqrt(psum(jnp.sum(U_new_loc ** 2)))
+
+    # --- alpha conditionals (SURVEY §4.5) ---
+    for ri, rs in enumerate(problem.rel_specs):
+        if not rs.alpha_sample:
+            continue
+        tr = trains[f"r{ri}"]
+        factors = [ents[eid]["U"] for eid in rs.entity_ids]
+        pred_c = predict_tuples(factors, tr["idx"], jnp.asarray(0.0, dtype))
+        sse = psum(jnp.sum(tr["w"] * (tr["vals"] - pred_c) ** 2))
+        rels[ri] = {"alpha": sample_alpha(
+            sse, rs.nnz, rnd_rep[f"r{ri}.alpha_g"],
+            cfg.alpha_a0, cfg.alpha_b0)}
+        metrics[f"r{ri}.alpha"] = rels[ri]["alpha"]
+
+    # --- predictions (SURVEY §4.7) ---
+    acc = jnp.asarray(accumulate, dtype)
+    for ri, rs in enumerate(problem.rel_specs):
+        pk = f"r{ri}"
+        if pk not in preds:
+            continue
+        te = tests[pk]
+        factors = [ents[eid]["U"] for eid in rs.entity_ids]
+        pv = predict_tuples(factors, te["idx"],
+                            jnp.asarray(rs.mean_value, dtype))
+        if cfg.clamp is not None:
+            pv = jnp.clip(pv, cfg.clamp[0], cfg.clamp[1])
+        pr = dict(preds[pk])
+        pr["sum"] = pr["sum"] + acc * pv * te["w"]
+        pr["sum2"] = pr["sum2"] + acc * pv * pv * te["w"]
+        pr["n"] = pr["n"] + acc
+        preds[pk] = pr
+        err2 = psum(jnp.sum(te["w"] * (pv - te["vals"]) ** 2))
+        metrics[f"{pk}.rmse_sample"] = jnp.sqrt(err2 / rs.n_test)
+        n_eff = jnp.maximum(pr["n"], 1.0)
+        e2avg = psum(jnp.sum(
+            te["w"] * (pr["sum"] / n_eff - te["vals"]) ** 2))
+        metrics[f"{pk}.rmse_avg"] = jnp.sqrt(e2avg / rs.n_test)
+
+    # re-attach the local device axis for sharded outputs
+    def unloc(tree):
+        return jax.tree.map(lambda x: x[None], tree)
+
+    new_state_rep = {"ent": ents, "rel": rels}
+    new_state_sh = {"uhat": unloc(uhat_sh), "pred": unloc(preds)}
+    return new_state_rep, new_state_sh, metrics
+
+
+def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
+                         e1_loc_raw, e2_raw, psum):
+    """Sharded noise-injected beta draw (SURVEY §4.4): X row-sharded by
+    instance owner; X'(Xv) psum-reduced — the ParallelSBM equivalent."""
+    cfg = problem.config
+    dtype = jnp.dtype(cfg.dtype)
+    F = es.num_features
+    n_loc = problem.ent_meta[ei].n_loc
+    mu, Lambda, lam = ent["mu"], ent["Lambda"], ent["lambda_beta"]
+    rows, cols = feat["rows"], feat["cols"]   # [nnz_d], cols padded with F
+
+    L = lxl.cholesky(Lambda)
+
+    def colored(z):
+        return lxl.triangular_solve(L, z.T, left_side=True, lower=True,
+                                    transpose_a=True).T
+
+    E1 = colored(e1_loc_raw)
+    E2 = colored(e2_raw)
+    resid = U_loc - mu[None, :] + E1
+    Xt = jax.ops.segment_sum(resid[rows], cols, num_segments=F + 1)[:F]
+    rhs = psum(Xt) + jnp.sqrt(lam) * E2
+
+    if es.use_ff:
+        A = ftf + lam * jnp.eye(F, dtype=dtype)
+        Lf = lxl.cholesky(A)
+        y = lxl.triangular_solve(Lf, rhs, left_side=True, lower=True)
+        beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
+                                    transpose_a=True)
+    else:
+        def matvec(V):
+            Vx = jnp.concatenate([V, jnp.zeros((1, V.shape[1]), V.dtype)])
+            XV = jax.ops.segment_sum(Vx[cols], rows, num_segments=n_loc)
+            Xt2 = jax.ops.segment_sum(XV[rows], cols,
+                                      num_segments=F + 1)[:F]
+            return psum(Xt2) + lam * V
+        beta, _ = block_cg(matvec, rhs, ent["beta"],
+                           tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+
+    beta_ext = jnp.concatenate([beta, jnp.zeros((1, beta.shape[1]), dtype)])
+    uhat_loc = jax.ops.segment_sum(beta_ext[cols], rows, num_segments=n_loc)
+    return beta, uhat_loc

@@ -1,0 +1,95 @@
+"""Benchmark: latent-factor rows sampled/sec/chip on MovieLens-10M rank 32.
+
+North-star metric (BASELINE.json / BASELINE.md): rows/s/chip, sweeps/s and
+RMSE@40 sweeps on an ML-10M-shaped problem at rank 32.  The reference repo
+publishes no numbers and Julia is unavailable in this sandbox (SURVEY.md
+§8), so ``vs_baseline`` is computed against the literature-anchored
+estimate of the reference's per-core throughput: 1e5 rows/s (upper end of
+the O(1e4-1e5) range for a Julia per-row K=32 sampler; documented in
+SURVEY §8 — re-derive when a Julia runtime is available).
+
+Prints ONE JSON line on stdout.  Runs on whatever jax.devices() offers
+(the single tunneled TPU chip under the driver; CPU works for smoke via
+BENCH_SMOKE=1).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+JULIA_ROWS_PER_S_ANCHOR = 1e5  # SURVEY §8 literature anchor, per core
+
+
+def main():
+    import jax
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    variant = "100k" if smoke else "10m"
+    sweeps_timed = 10 if smoke else 40
+    rank = 32
+
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.datasets import load_movielens
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
+
+    # The axon loopback relay stalls ~200s on the FIRST device->host
+    # transfer of a process, then is fast; pay it before any timing.
+    t0 = time.time()
+    import jax.numpy as jnp
+    _ = float(jax.jit(lambda: jnp.zeros(()))())
+    print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    df = load_movielens(variant)
+    rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
+    n_test = min(100_000, df.nnz // 10)
+    rd.assign_to_test(0, n_test, seed=7)
+    cfg = MacauConfig(num_latent=rank, burnin=sweeps_timed, psamples=0,
+                      clamp=(1.0, 5.0), verbose=False, dtype="float32",
+                      seed=42)
+    eng = MacauEngine(rd, cfg)
+    build_s = time.time() - t0
+    print(f"# data+layout build: {build_s:.1f}s "
+          f"(nnz={df.nnz}, shape={df.shape})", file=sys.stderr)
+
+    key = jax.random.key(cfg.seed)
+    state = eng.init_state(jax.random.fold_in(key, 0))
+    # compile + warmup (excluded from timing)
+    t0 = time.time()
+    state, metrics = eng._sweep_jit(eng.problem.arrays, state,
+                                    sweep_key(key, 1), 0.0)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    print(f"# first sweep (compile+run): {compile_s:.1f}s", file=sys.stderr)
+
+    n_rows = sum(es.n for es in eng.problem.entity_specs)
+    t0 = time.time()
+    for s in range(1, sweeps_timed + 1):
+        state, metrics = eng._sweep_jit(eng.problem.arrays, state,
+                                        sweep_key(key, s + 1), 1.0)
+    # force completion with a real D2H (block_until_ready can return
+    # before execution finishes on the axon relay backend)
+    _ = float(metrics["r0.rmse_avg"])
+    elapsed = time.time() - t0
+    sweeps_per_s = sweeps_timed / elapsed
+    rows_per_s = n_rows * sweeps_per_s
+    rmse = float(metrics["r0.rmse_avg"])
+    print(f"# {sweeps_timed} sweeps in {elapsed:.2f}s | "
+          f"RMSE(avg)={rmse:.4f} | device={jax.devices()[0]}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"rows_sampled_per_s_per_chip (ML-{variant} rank {rank}; "
+                  f"sweeps/s={sweeps_per_s:.3f}, rmse@{sweeps_timed}={rmse:.4f})",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_s / JULIA_ROWS_PER_S_ANCHOR, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

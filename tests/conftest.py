@@ -4,12 +4,8 @@ import os
 # bench.py (SURVEY.md §6 implication (b)).  NOTE: the axon sitecustomize in
 # this image imports jax and pins JAX_PLATFORMS=axon before user code runs,
 # so the env var alone is not enough — use jax.config, which wins.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,113 @@
+"""Multi-device tests on a virtual 8-device CPU mesh (SURVEY.md §6
+implication (b) and §7.2: same seed => same factors across shardings, up
+to reduction-order float error)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bayesiandatafusion_jl_tpu as bdf
+from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
+from bayesiandatafusion_jl_tpu.parallel.sharded import ShardedMacauEngine
+from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 (virtual) devices")
+
+
+def _lowrank(rng, n1, n2, k=3, density=0.5, noise=0.1):
+    U = rng.standard_normal((n1, k))
+    V = rng.standard_normal((n2, k))
+    R = U @ V.T + noise * rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < density
+    return bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], (n1, n2))
+
+
+def _compare_engines(rd_builder, cfg, n_sweeps=3, rtol=1e-8):
+    """Run single-device vs 8-device sharded with the same seed; factors in
+    original order must agree to float tolerance."""
+    rd1 = rd_builder()
+    eng1 = MacauEngine(rd1, cfg)
+    r1 = eng1.run(num_sweeps=n_sweeps)
+
+    rd2 = rd_builder()
+    eng8 = ShardedMacauEngine(rd2, cfg, mesh=data_mesh())
+    r8 = eng8.run(num_sweeps=n_sweeps)
+
+    U8 = eng8.factors_original_order(r8["state"][0])
+    for ei in range(len(rd1.entities)):
+        U1 = np.asarray(r1["state"]["ent"][ei]["U"])
+        np.testing.assert_allclose(U8[ei], U1, rtol=rtol, atol=rtol,
+                                   err_msg=f"entity {ei} factors diverged")
+    return r1, r8
+
+
+def test_sharded_matches_single_bpmf():
+    rng = np.random.default_rng(0)
+    df = _lowrank(rng, 53, 37)  # sizes not divisible by 8: padding exercised
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", seed=5)
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    # prediction accumulators agree too
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_matches_single_macau_ff():
+    rng = np.random.default_rng(1)
+    feat = (rng.random((53, 17)) < 0.25).astype(np.float64)
+    df = _lowrank(rng, 53, 37)
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 50, seed=2)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", use_ff=True, seed=6)
+    _compare_engines(build, cfg, n_sweeps=3)
+
+
+def test_sharded_matches_single_macau_cg():
+    rng = np.random.default_rng(2)
+    feat = (rng.random((41, 23)) < 0.25).astype(np.float64)
+    df = _lowrank(rng, 41, 29)
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 40, seed=3)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", use_ff=False, cg_tol=1e-12, seed=7)
+    _compare_engines(build, cfg, n_sweeps=3, rtol=1e-6)
+
+
+def test_sharded_matches_single_tensor_multirel_alpha():
+    rng = np.random.default_rng(3)
+    shape = (19, 13, 5)
+    T = rng.standard_normal(shape)
+    mask = rng.random(shape) < 0.4
+    df3 = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), T[mask], shape)
+    m2 = rng.random((19, 11)) < 0.5
+    R2 = rng.standard_normal((19, 11))
+    df2 = bdf.IndexedDF(np.stack(np.nonzero(m2), 1), R2[m2], (19, 11))
+
+    def build():
+        e1 = bdf.Entity("e1", count=19)
+        e2 = bdf.Entity("e2", count=13)
+        e3 = bdf.Entity("e3", count=5)
+        e4 = bdf.Entity("e4", count=11)
+        rd = bdf.RelationData()
+        rd.add_relation(df3, "tensor", [e1, e2, e3])
+        rd.add_relation(df2, "aux", [e1, e4])
+        rd.assign_to_test("tensor", 30, seed=4)
+        rd.set_precision("aux", 2.0, sample=True)
+        return rd
+
+    cfg = MacauConfig(num_latent=2, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", seed=8)
+    _compare_engines(build, cfg, n_sweeps=3)
