@@ -10,7 +10,8 @@ helpers.  TPU-only additions live under ops/, parallel/ and utils/.
 
 from .models.data import (Entity, EntityModel, IndexedDF, Relation,
                           RelationData, RelationModel)
-from .models.engine import CompiledProblem, MacauEngine, macau
+from .models.engine import (CompiledProblem, MacauEngine, macau,
+                            predict_out_of_matrix)
 from .ops.sparse import (SparseBinMatrix, read_sparse_binary,
                          read_sparse_float64, write_sparse_binary,
                          write_sparse_float64)

@@ -72,20 +72,20 @@ def synthetic_ratings(n_users: int, n_movies: int, nnz: int,
     movie_p /= movie_p.sum()
     user_p = rng.lognormal(0.0, 1.0, n_users)
     user_p /= user_p.sum()
-    # oversample then dedup to reach nnz unique pairs
+    movie_cdf = np.cumsum(movie_p)
+    user_cdf = np.cumsum(user_p)
+
+    def draw(n):  # inverse-CDF sampling (much faster than rng.choice w/ p)
+        u = np.searchsorted(user_cdf, rng.random(n)).astype(np.int64)
+        m = np.searchsorted(movie_cdf, rng.random(n)).astype(np.int64)
+        return np.unique(u * n_movies + m)
+
     target = nnz
-    got_u = np.zeros(0, np.int64)
-    got_m = np.zeros(0, np.int64)
-    while len(got_u) < target:
-        need = int((target - len(got_u)) * 1.35) + 1024
-        u = rng.choice(n_users, size=need, p=user_p)
-        m = rng.choice(n_movies, size=need, p=movie_p)
-        key = u.astype(np.int64) * n_movies + m
-        key = np.unique(np.concatenate(
-            [got_u * n_movies + got_m, key]))
-        got_u, got_m = key // n_movies, key % n_movies
-    sel = rng.permutation(len(got_u))[:target]
-    u, m = got_u[sel], got_m[sel]
+    key = draw(int(target * 1.6) + 1024)
+    while len(key) < target:  # rare: heavy-skew dedup fell short
+        key = np.unique(np.concatenate([key, draw(target)]))
+    sel = rng.permutation(len(key))[:target]
+    u, m = key[sel] // n_movies, key[sel] % n_movies
     # rank-`rank` signal scaled into the star range
     U = rng.standard_normal((n_users, rank)) / np.sqrt(rank)
     V = rng.standard_normal((n_movies, rank)) / np.sqrt(rank)

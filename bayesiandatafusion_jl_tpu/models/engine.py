@@ -31,10 +31,10 @@ from jax.lax import linalg as lxl
 
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
-from ..ops.gramian import accumulate_mode, predict_tuples
+from ..ops.gramian import assemble_precision, predict_tuples
 from ..ops.hyper import (normal_wishart_update, sample_alpha,
                          sample_lambda_beta)
-from ..ops.mvn import chol_sample
+from ..ops.mvn import chol_sample, chol_sample_dispatch
 from ..utils.config import MacauConfig
 from ..utils.rng import DrawSpec, RandomSpec, draw_all, sweep_key
 from .data import RelationData
@@ -281,19 +281,19 @@ class MacauEngine:
             prior_mean = jnp.broadcast_to(mu[None, :], (es.n, K))
             if uhat is not None:
                 prior_mean = prior_mean + uhat
-            P_acc = jnp.broadcast_to(Lambda, (es.n, K, K)).astype(dtype)
-            b_acc = prior_mean @ Lambda  # Λ symmetric
+            contribs = []
             for ri, rs in enumerate(rel_specs):
                 for mode in range(rs.arity):
                     if rs.entity_ids[mode] != ei:
                         continue
                     partners = [ents[rs.entity_ids[d]]["U"]
                                 for d in range(rs.arity) if d != mode]
-                    P_acc, b_acc = accumulate_mode(
-                        P_acc, b_acc, rels[ri]["alpha"], partners,
-                        arrays["layouts"][f"r{ri}m{mode}"])
-            ent["U"] = chol_sample(P_acc, b_acc, randoms[f"e{ei}.xi"],
-                                   cfg.chol_jitter)
+                    for ba in arrays["layouts"][f"r{ri}m{mode}"]:
+                        contribs.append((rels[ri]["alpha"], partners, ba))
+            P_acc, b_acc = assemble_precision(Lambda, prior_mean, contribs,
+                                              es.n)
+            ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
+                                            randoms[f"e{ei}.xi"])
             ents[ei] = ent
             metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
 
@@ -400,23 +400,55 @@ class MacauEngine:
         total = (cfg.burnin + cfg.psamples if num_sweeps is None
                  else num_sweeps)
         history = []
-        for s in range(sweep_offset, total):
-            t0 = time.perf_counter()
-            skey = sweep_key(key, s + 1)
-            accumulate = 1.0 if s >= cfg.burnin else 0.0
-            state, metrics = self._sweep_jit(self.problem.arrays, state,
-                                             skey, accumulate)
-            metrics = {k: float(v) for k, v in
-                       jax.device_get(metrics).items()}
-            dt = time.perf_counter() - t0
-            phase = "burnin" if s < cfg.burnin else "sample"
-            metrics["time"] = dt
-            history.append(metrics)
-            if callback is not None:
-                callback(s, phase, metrics, dt)
-            if cfg.verbose:
-                self._print_sweep(s, phase, metrics, state)
+        log_f = open(cfg.log_file, "a") if cfg.log_file else None
+        try:
+            for s in range(sweep_offset, total):
+                t0 = time.perf_counter()
+                skey = sweep_key(key, s + 1)
+                accumulate = 1.0 if s >= cfg.burnin else 0.0
+                trace_this = (cfg.trace_dir is not None
+                              and s == min(2, total - 1))
+                if trace_this:
+                    jax.profiler.start_trace(cfg.trace_dir)
+                state, metrics = self._sweep_jit(self.problem.arrays, state,
+                                                 skey, accumulate)
+                metrics = {k: float(v) for k, v in
+                           jax.device_get(metrics).items()}
+                if trace_this:
+                    jax.profiler.stop_trace()
+                dt = time.perf_counter() - t0
+                phase = "burnin" if s < cfg.burnin else "sample"
+                metrics["time"] = dt
+                history.append(metrics)
+                if log_f is not None:
+                    import json
+                    log_f.write(json.dumps(
+                        {"sweep": s + 1, "phase": phase, **metrics}) + "\n")
+                    log_f.flush()
+                if cfg.output_prefix is not None and s >= cfg.burnin:
+                    self._save_sample(cfg.output_prefix, s - cfg.burnin,
+                                      state)
+                if callback is not None:
+                    callback(s, phase, metrics, dt)
+                if cfg.verbose:
+                    self._print_sweep(s, phase, metrics, state)
+        finally:
+            if log_f is not None:
+                log_f.close()
         return self._results(state, history)
+
+    def _save_sample(self, prefix: str, psample_idx: int, state) -> None:
+        """Dump one posterior sample (U/mu/Lambda/beta/lambda_beta/alpha)
+        for model reuse — the reference's save-during-psamples behavior
+        (SURVEY §7.4) used for out-of-matrix prediction."""
+        st = jax.device_get(state)
+        out = {}
+        for ei, ent in enumerate(st["ent"]):
+            for k, v in ent.items():
+                out[f"e{ei}.{k}"] = v
+        for ri, rel in enumerate(st["rel"]):
+            out[f"r{ri}.alpha"] = rel["alpha"]
+        np.savez(f"{prefix}-sample{psample_idx:04d}.npz", **out)
 
     def _print_sweep(self, s, phase, metrics, state):
         parts = [f"sweep {s + 1:4d} [{phase:6s}]"]
@@ -499,6 +531,40 @@ def _auc(labels: np.ndarray, scores: np.ndarray) -> float:
     r_pos = ranks[:len(pos)].sum()
     n_p, n_n = len(pos), len(neg)
     return float((r_pos - n_p * (n_p + 1) / 2.0) / (n_p * n_n))
+
+
+def predict_out_of_matrix(prefix: str, x_new, feat_entity: int = 0,
+                          partner_entity: int = 1,
+                          relation_mean: float = 0.0,
+                          partner_rows: Optional[np.ndarray] = None
+                          ) -> np.ndarray:
+    """Predict for NEW instances from saved posterior samples.
+
+    Mirrors the reference README workflow (SURVEY §7.4): reuse the saved
+    link matrix / hyperparameters to score compounds never seen in
+    training:  u_new = mu_e + beta_e' x_new;  pred = mean_r + u_new . v_j,
+    averaged over the saved psamples.
+
+    ``prefix`` is the ``output_prefix`` used during sampling; ``x_new`` is
+    [n_new, F] (dense or anything np.asarray handles).
+    """
+    import glob as _glob
+    files = sorted(_glob.glob(f"{prefix}-sample*.npz"))
+    if not files:
+        raise FileNotFoundError(f"no saved samples at {prefix}-sample*.npz")
+    x_new = np.asarray(x_new, np.float64)
+    acc = None
+    for fn in files:
+        z = np.load(fn)
+        beta = z[f"e{feat_entity}.beta"]
+        mu = z[f"e{feat_entity}.mu"]
+        V = z[f"e{partner_entity}.U"]
+        if partner_rows is not None:
+            V = V[np.asarray(partner_rows)]
+        u_new = mu[None, :] + x_new @ beta
+        p = relation_mean + u_new @ V.T
+        acc = p if acc is None else acc + p
+    return acc / len(files)
 
 
 # ---------------------------------------------------------------------------

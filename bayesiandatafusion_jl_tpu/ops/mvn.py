@@ -39,6 +39,25 @@ def chol_sample(P: jax.Array, b: jax.Array, xi: jax.Array,
     return (mu + u)[..., 0]
 
 
+def use_pallas_chol(cfg) -> bool:
+    """Pallas fused sampler eligibility (ops/pallas_chol.py): TPU backend,
+    f32, K small enough that the unrolled kernel stays compilable."""
+    if cfg.pallas == "off":
+        return False
+    if cfg.pallas == "on":
+        return True
+    return (jax.default_backend() not in ("cpu",)
+            and cfg.dtype == "float32" and cfg.num_latent <= 64)
+
+
+def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array,
+                         xi: jax.Array) -> jax.Array:
+    if use_pallas_chol(cfg):
+        from .pallas_chol import chol_sample_pallas
+        return chol_sample_pallas(P, b, xi, cfg.chol_jitter)
+    return chol_sample(P, b, xi, cfg.chol_jitter)
+
+
 def chol_solve(P: jax.Array, b: jax.Array) -> jax.Array:
     """P^{-1} b via Cholesky, batched. b: [..., K] or [..., K, M]."""
     L = lxl.cholesky(P)

@@ -119,6 +119,17 @@ _MAGIC = b"SBM1"
 
 
 def write_sparse_binary(path: str, m: SparseBinMatrix) -> None:
+    from .. import native
+    L = native.lib()
+    if L is not None:
+        import ctypes
+        p = ctypes.POINTER(ctypes.c_int32)
+        rows = np.ascontiguousarray(m.rows, np.int32)
+        cols = np.ascontiguousarray(m.cols, np.int32)
+        if L.bdf_write_sbm(path.encode(), m.shape[0], m.shape[1], m.nnz,
+                           rows.ctypes.data_as(p),
+                           cols.ctypes.data_as(p)) == 0:
+            return
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<qqq", m.shape[0], m.shape[1], m.nnz))
@@ -127,6 +138,23 @@ def write_sparse_binary(path: str, m: SparseBinMatrix) -> None:
 
 
 def read_sparse_binary(path: str) -> SparseBinMatrix:
+    from .. import native
+    L = native.lib()
+    if L is not None:
+        import ctypes
+        shape = np.zeros(2, np.int64)
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        nnz = L.bdf_read_sbm_header(path.encode(),
+                                    shape.ctypes.data_as(p64))
+        if nnz < 0:
+            raise ValueError(f"{path}: not an SBM1 file")
+        rows = np.empty(nnz, np.int32)
+        cols = np.empty(nnz, np.int32)
+        p32 = ctypes.POINTER(ctypes.c_int32)
+        if L.bdf_read_sbm(path.encode(), nnz, rows.ctypes.data_as(p32),
+                          cols.ctypes.data_as(p32)) != 0:
+            raise ValueError(f"{path}: truncated SBM1 file")
+        return SparseBinMatrix(rows, cols, (int(shape[0]), int(shape[1])))
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != _MAGIC:

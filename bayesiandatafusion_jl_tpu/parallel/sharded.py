@@ -43,10 +43,10 @@ from ..models.engine import (EntitySpec, MacauEngine, RelationSpec, _auc,
                              build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
-from ..ops.gramian import accumulate_mode, predict_tuples
+from ..ops.gramian import assemble_precision, predict_tuples
 from ..ops.hyper import (normal_wishart_from_moments, sample_alpha,
                          sample_lambda_beta)
-from ..ops.mvn import chol_sample
+from ..ops.mvn import chol_sample_dispatch
 from ..utils.config import MacauConfig
 from ..utils.rng import draw_all, sweep_key
 from .mesh import AXIS, data_mesh, instance_permutation
@@ -497,19 +497,19 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         prior_mean = jnp.broadcast_to(mu[None, :], (meta.n_loc, K))
         if uhat_loc is not None:
             prior_mean = prior_mean + uhat_loc
-        P_acc = jnp.broadcast_to(Lambda, (meta.n_loc, K, K)).astype(dtype)
-        b_acc = prior_mean @ Lambda
+        contribs = []
         for ri, rs in enumerate(problem.rel_specs):
             for mode in range(rs.arity):
                 if rs.entity_ids[mode] != ei:
                     continue
                 partners = [ents[rs.entity_ids[d]]["U"]
                             for d in range(rs.arity) if d != mode]
-                P_acc, b_acc = accumulate_mode(
-                    P_acc, b_acc, rels[ri]["alpha"], partners,
-                    layouts[f"r{ri}m{mode}"])
+                for ba in layouts[f"r{ri}m{mode}"]:
+                    contribs.append((rels[ri]["alpha"], partners, ba))
+        P_acc, b_acc = assemble_precision(Lambda, prior_mean, contribs,
+                                          meta.n_loc)
         xi_loc = rnd_sh[f"e{ei}.xi"]
-        U_new_loc = chol_sample(P_acc, b_acc, xi_loc, cfg.chol_jitter)
+        U_new_loc = chol_sample_dispatch(cfg, P_acc, b_acc, xi_loc)
         # --- factor exchange: all-gather the freshly sampled shard ---
         ent["U"] = jax.lax.all_gather(U_new_loc, AXIS, axis=0, tiled=True)
         ents[ei] = ent

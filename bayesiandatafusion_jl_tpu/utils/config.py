@@ -52,6 +52,8 @@ class MacauConfig:
     # --- numerics ---
     dtype: str = "float32"      # compute dtype ("float64" for CPU oracle-equivalence)
     chol_jitter: float = 0.0    # added to diag of per-row precision before Cholesky
+    # Pallas kernels: "auto" = on TPU for f32 and K<=64; "on"/"off" force
+    pallas: str = "auto"
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold
@@ -62,6 +64,15 @@ class MacauConfig:
     # --- TPU layout (no reference counterpart; SURVEY §9.0) ---
     bucket_widths: Sequence[int] = (8, 32, 128, 512, 2048)
     row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
+
+    # --- aux subsystems (SURVEY §7) ---
+    # jsonl structured per-sweep records (§7.5); None = off
+    log_file: Optional[str] = None
+    # posterior-sample dumping during the psamples phase (§7.4: reference's
+    # save-prefix for out-of-matrix prediction); saves {prefix}-sweepNNNN.npz
+    output_prefix: Optional[str] = None
+    # jax.profiler trace directory for one profiled sweep (§7.1); None = off
+    trace_dir: Optional[str] = None
 
     def np_dtype(self):
         return np.dtype(self.dtype)

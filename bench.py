@@ -44,7 +44,16 @@ def main():
     print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    df = load_movielens(variant)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", f"ml{variant}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        from bayesiandatafusion_jl_tpu.models.data import IndexedDF
+        df = IndexedDF(z["idx"], z["vals"], tuple(z["shape"]))
+    else:
+        df = load_movielens(variant)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, idx=df.idx, vals=df.vals, shape=df.shape)
     rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
     n_test = min(100_000, df.nnz // 10)
     rd.assign_to_test(0, n_test, seed=7)

@@ -78,3 +78,29 @@ def test_layout_tensor():
     vals = rng.standard_normal(idx.shape[0])
     for mode in range(3):
         _check(idx, vals, mode, shape[mode], widths=(4, 16))
+
+
+def test_native_matches_numpy():
+    """The C++ one-pass builder must produce bit-identical layouts."""
+    import pytest
+    from bayesiandatafusion_jl_tpu import native
+    from bayesiandatafusion_jl_tpu.ops.layout import (
+        _build_mode_layout_native, _build_mode_layout_numpy)
+    if native.lib() is None:
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(7)
+    shape = (60, 45, 8)
+    mask = rng.random(shape) < 0.2
+    idx = np.stack(np.nonzero(mask), 1).astype(np.int32)
+    cv = rng.standard_normal(idx.shape[0])
+    for mode in range(3):
+        a = _build_mode_layout_native(idx, cv, mode, shape[mode], (4, 16), 8)
+        b = _build_mode_layout_numpy(idx, cv, mode, shape[mode], (4, 16), 8,
+                                     np.float32)
+        assert [x.width for x in a.buckets] == [x.width for x in b.buckets]
+        for ba, bb in zip(a.buckets, b.buckets):
+            np.testing.assert_array_equal(ba.inst, bb.inst)
+            for pa, pb in zip(ba.part, bb.part):
+                np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_allclose(ba.val, bb.val, rtol=1e-6)
+            np.testing.assert_array_equal(ba.mask, bb.mask)
