@@ -31,10 +31,13 @@ from jax.lax import linalg as lxl
 
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
-from ..ops.gramian import assemble_precision, predict_tuples
+from ..ops.gramian import (assemble_precision,
+                           assemble_precision_planned,
+                           predict_tuples)
 from ..ops.hyper import (normal_wishart_update, sample_alpha,
                          sample_lambda_beta)
-from ..ops.mvn import chol_sample, chol_sample_dispatch
+from ..ops.mvn import (chol_sample, chol_sample_dispatch,
+                       use_pallas_chol)
 from ..utils.config import MacauConfig
 from ..utils.rng import DrawSpec, RandomSpec, draw_all, sweep_key
 from .data import RelationData
@@ -82,9 +85,10 @@ class CompiledProblem:
         self.rel_specs: List[RelationSpec] = []
 
         arrays: Dict[str, Any] = {"layouts": {}, "feat": {}, "ftf": {},
-                                  "test": {}, "train": {}}
+                                  "test": {}, "train": {}, "acc_plan": {}}
         # bucket shape metadata per (relation, mode) key (static)
         self.layout_meta: Dict[str, List[Tuple[int, int]]] = {}
+        host_inst: Dict[str, List[np.ndarray]] = {}
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -104,6 +108,7 @@ class CompiledProblem:
                 key = f"r{ri}m{mode}"
                 self.layout_meta[key] = [(b.n_rows, b.width)
                                          for b in ml.buckets]
+                host_inst[key] = [b.inst for b in ml.buckets]
                 arrays["layouts"][key] = [
                     {"inst": jnp.asarray(b.inst),
                      "part": [jnp.asarray(p) for p in b.part],
@@ -141,6 +146,20 @@ class CompiledProblem:
             self.entity_specs.append(EntitySpec(
                 name=ent.name, n=ent.count, num_features=nf,
                 use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0)))
+
+        # accumulation plans: static first-row gather + overflow per entity,
+        # in the exact contribs order the sweep uses (ops/gramian.py)
+        from ..ops.gramian import plan_accumulation
+        for ei, ent in enumerate(rd.entities):
+            inst_list = []
+            for ri, rs in enumerate(self.rel_specs):
+                for mode in range(rs.arity):
+                    if rs.entity_ids[mode] != ei:
+                        continue
+                    inst_list.extend(host_inst[f"r{ri}m{mode}"])
+            plan = plan_accumulation(inst_list, ent.count)
+            arrays["acc_plan"][f"e{ei}"] = {
+                k: jnp.asarray(v) for k, v in plan.items()}
 
         self.arrays = arrays
         # per-entity initial hyper values from the data model
@@ -290,12 +309,32 @@ class MacauEngine:
                                 for d in range(rs.arity) if d != mode]
                     for ba in arrays["layouts"][f"r{ri}m{mode}"]:
                         contribs.append((rels[ri]["alpha"], partners, ba))
-            P_acc, b_acc = assemble_precision(Lambda, prior_mean, contribs,
-                                              es.n)
+            gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
+            if cfg.accumulation == "planned":
+                P_acc, b_acc = assemble_precision_planned(
+                    Lambda, prior_mean, contribs, es.n,
+                    arrays["acc_plan"][f"e{ei}"], gram_dtype=gd)
+            else:
+                fuse = use_pallas_chol(cfg)
+                P_acc, b_acc = assemble_precision(
+                    Lambda, prior_mean, contribs, es.n, gram_dtype=gd,
+                    fuse_lambda=fuse)
+                ent["U"] = chol_sample_dispatch(
+                    cfg, P_acc, b_acc, randoms[f"e{ei}.xi"],
+                    Lambda=Lambda if fuse else None)
+                ents[ei] = ent
+                metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
+                if es.has_features:
+                    metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(ent["beta"])
+                    metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
+                continue
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
                                             randoms[f"e{ei}.xi"])
             ents[ei] = ent
             metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
+            if es.has_features:
+                metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(ent["beta"])
+                metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
 
         # ---- noise precisions (SURVEY §4.5) ----
         for ri, rs in enumerate(rel_specs):

@@ -22,6 +22,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def bucket_gramian(
@@ -29,17 +30,26 @@ def bucket_gramian(
     part: Sequence[jax.Array],             # (arity-1) x [rows, W] int32
     val: jax.Array,                        # [rows, W]
     mask: jax.Array,                       # [rows, W]
+    gram_dtype=None,                       # e.g. jnp.bfloat16: halve gather
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row Gramian and rhs contribution of one bucket (without alpha).
 
-    Returns (P [rows, K, K], b [rows, K]).
+    Returns (P [rows, K, K], b [rows, K]).  With ``gram_dtype=bfloat16``
+    the gathered partner rows move at half the HBM traffic and the MXU
+    contracts in bf16 with f32 accumulation (XLA CSEs the one-time factor
+    cast across buckets).
     """
+    out_dtype = val.dtype
+    if gram_dtype is not None:
+        partner_factors = [U.astype(gram_dtype) for U in partner_factors]
     z = jnp.take(partner_factors[0], part[0], axis=0)  # [rows, W, K]
     for U, p in zip(partner_factors[1:], part[1:]):
         z = z * jnp.take(U, p, axis=0)                 # Hadamard (tensor modes)
-    zm = z * mask[..., None]
-    P = jnp.einsum("rwk,rwl->rkl", zm, zm)
-    b = jnp.einsum("rwk,rw->rk", zm, val)  # val is 0-padded; mask harmless
+    zm = z * mask[..., None].astype(z.dtype)
+    P = jnp.einsum("rwk,rwl->rkl", zm, zm,
+                   preferred_element_type=out_dtype)
+    b = jnp.einsum("rwk,rw->rk", zm, val.astype(z.dtype),
+                   preferred_element_type=out_dtype)
     return P, b
 
 
@@ -64,6 +74,9 @@ def assemble_precision(
     prior_mean: jax.Array,    # [N, K]
     contribs,                 # list of (alpha, partner_factors, bucket dict)
     n: int,
+    gram_dtype=None,
+    fuse_lambda: bool = False,  # skip the [n,K,K] Lambda broadcast: the
+                                # Pallas sampler adds Lambda in-register
 ) -> Tuple[jax.Array, jax.Array]:
     """P/b accumulators via ONE segment-sum over all buckets' rows.
 
@@ -77,11 +90,14 @@ def assemble_precision(
     P_rows, b_rows, inst_rows = [], [], []
     for alpha, partner_factors, ba in contribs:
         P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
-                              ba["mask"])
+                              ba["mask"], gram_dtype=gram_dtype)
         P_rows.append(alpha * P)
         b_rows.append(alpha * b)
         inst_rows.append(ba["inst"])
-    P_acc = jnp.broadcast_to(Lambda, (n, K, K)).astype(Lambda.dtype)
+    if fuse_lambda:
+        P_acc = jnp.zeros((n, K, K), Lambda.dtype)
+    else:
+        P_acc = jnp.broadcast_to(Lambda, (n, K, K)).astype(Lambda.dtype)
     b_acc = prior_mean @ Lambda
     if P_rows:
         inst = jnp.concatenate(inst_rows)
@@ -90,6 +106,84 @@ def assemble_precision(
         b_acc = b_acc + jax.ops.segment_sum(
             jnp.concatenate(b_rows), inst, num_segments=n)
     return P_acc, b_acc
+
+
+def plan_accumulation(inst_arrays: Sequence[np.ndarray], n: int):
+    """Compile-time plan replacing the runtime scatter (host-side NumPy).
+
+    In the bucketed layout an instance owns exactly ONE Gramian row per
+    (relation, mode) — plus extra chunk rows only for head instances whose
+    degree exceeds the widest bucket.  So the [rows]->[n] reduction is a
+    static-index gather of each instance's first row plus a tiny overflow
+    segment-sum, instead of a general scatter over all rows (XLA's scatter
+    ran at ~10 GB/s; the gather formulation is bandwidth-bound).
+
+    Returns dict of numpy arrays: first [n] int32 (concat-row id of the
+    first contributing row; 0 if none), has [n] float (0/1), ov_rows
+    [R_ex] int32, ov_inst [R_ex] int32.
+
+    NOTE: padded bucket rows carry inst=0 with all-zero contributions;
+    they are harmless for the overflow path but must NOT be counted as
+    instance 0's "first" row, so callers pass the REAL row count per
+    bucket via trimmed inst arrays... here we conservatively treat every
+    row as real: zero rows gathered first for instance 0 would DROP its
+    real contribution.  To stay exact, instance 0's rows always go
+    through the overflow path.
+    """
+    inst_cat = np.concatenate([np.asarray(a) for a in inst_arrays]) \
+        if inst_arrays else np.zeros(0, np.int32)
+    rowids = np.arange(len(inst_cat), dtype=np.int64)
+    nz = inst_cat != 0
+    u, fpos = np.unique(inst_cat[nz], return_index=True)
+    first = np.zeros(n, np.int32)
+    has = np.zeros(n, np.float32)
+    first[u] = rowids[nz][fpos].astype(np.int32)
+    has[u] = 1.0
+    is_first = np.zeros(len(inst_cat), bool)
+    is_first[rowids[nz][fpos]] = True
+    ov_rows = rowids[~is_first].astype(np.int32)
+    ov_inst = inst_cat[~is_first].astype(np.int32)
+    pad = (-len(ov_rows)) % 8 or 8
+    # pad with row 0 aimed at sentinel segment n (sliced off by caller)
+    ov_rows = np.concatenate([ov_rows, np.zeros(pad, np.int32)])
+    ov_inst = np.concatenate([ov_inst, np.full(pad, n, np.int32)])
+    return {"first": first, "has": has, "ov_rows": ov_rows,
+            "ov_inst": ov_inst}
+
+
+def assemble_precision_planned(
+    Lambda: jax.Array,
+    prior_mean: jax.Array,
+    contribs,
+    n: int,
+    plan: dict,                # device arrays from plan_accumulation
+    gram_dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Accumulate with the compile-time plan: static gather + tiny overflow
+    segment-sum (see plan_accumulation)."""
+    K = Lambda.shape[-1]
+    P_rows, b_rows = [], []
+    for alpha, partner_factors, ba in contribs:
+        P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
+                              ba["mask"], gram_dtype=gram_dtype)
+        P_rows.append(alpha * P)
+        b_rows.append(alpha * b)
+    P_acc = jnp.broadcast_to(Lambda, (n, K, K)).astype(Lambda.dtype)
+    b_acc = prior_mean @ Lambda
+    if not P_rows:
+        return P_acc, b_acc
+    P_cat = jnp.concatenate(P_rows)
+    b_cat = jnp.concatenate(b_rows)
+    has = plan["has"]
+    P_acc = P_acc + jnp.take(P_cat, plan["first"], axis=0) * has[:, None, None]
+    b_acc = b_acc + jnp.take(b_cat, plan["first"], axis=0) * has[:, None]
+    # overflow: head-instance chunk rows + everything aimed at instance 0
+    # (sentinel segment n collects the padding and is sliced off)
+    ovP = jax.ops.segment_sum(jnp.take(P_cat, plan["ov_rows"], axis=0),
+                              plan["ov_inst"], num_segments=n + 1)[:n]
+    ovb = jax.ops.segment_sum(jnp.take(b_cat, plan["ov_rows"], axis=0),
+                              plan["ov_inst"], num_segments=n + 1)[:n]
+    return P_acc + ovP, b_acc + ovb
 
 
 def predict_tuples(

@@ -50,11 +50,15 @@ def use_pallas_chol(cfg) -> bool:
             and cfg.dtype == "float32" and cfg.num_latent <= 64)
 
 
-def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array,
-                         xi: jax.Array) -> jax.Array:
+def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
+                         Lambda: jax.Array | None = None) -> jax.Array:
+    """Fused sampler dispatch; when ``Lambda`` is given it is added to
+    every P_i (in-register on the Pallas path — no [N,K,K] HBM pass)."""
     if use_pallas_chol(cfg):
         from .pallas_chol import chol_sample_pallas
-        return chol_sample_pallas(P, b, xi, cfg.chol_jitter)
+        return chol_sample_pallas(P, b, xi, cfg.chol_jitter, Lambda=Lambda)
+    if Lambda is not None:
+        P = P + Lambda
     return chol_sample(P, b, xi, cfg.chol_jitter)
 
 

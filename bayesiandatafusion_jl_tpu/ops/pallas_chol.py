@@ -29,6 +29,18 @@ def _chol_sample_kernel(P_ref, b_ref, xi_ref, u_ref, *, K: int):
     """One tile: P [K, K, T], b/xi/u [K, T] — batch on lanes."""
     # right-looking Cholesky, fully unrolled; A holds the trailing matrix
     A = [[P_ref[i, j, :] for j in range(K)] for i in range(K)]
+    _chol_solve_sample(A, b_ref, xi_ref, u_ref, K)
+
+
+def _chol_sample_lam_kernel(P_ref, lam_ref, b_ref, xi_ref, u_ref, *, K: int):
+    """Same, with the prior precision Lambda [K, K] added in-register —
+    saves a full [N, K, K] broadcast+add pass over HBM in the engine."""
+    A = [[P_ref[i, j, :] + lam_ref[i, j] for j in range(K)]
+         for i in range(K)]
+    _chol_solve_sample(A, b_ref, xi_ref, u_ref, K)
+
+
+def _chol_solve_sample(A, b_ref, xi_ref, u_ref, K):
     L = [[None] * K for _ in range(K)]
     for j in range(K):
         d = jnp.sqrt(A[j][j])
@@ -63,8 +75,10 @@ def _chol_sample_kernel(P_ref, b_ref, xi_ref, u_ref, *, K: int):
 
 def chol_sample_pallas(P: jax.Array, b: jax.Array, xi: jax.Array,
                        jitter: float = 0.0,
-                       tile: int = 512) -> jax.Array:
-    """Sample u ~ N(P^{-1} b, P^{-1}) for P [B, K, K]; b, xi [B, K].
+                       tile: int = 512,
+                       Lambda: jax.Array | None = None) -> jax.Array:
+    """Sample u ~ N(P'^{-1} b, P'^{-1}) for P [B, K, K]; b, xi [B, K],
+    where P' = P (+ Lambda broadcast, when given — fused in-kernel).
 
     f32 only (VPU); pads B to a tile multiple (padded lanes factor a dummy
     identity so no NaNs leak into real lanes via compiler reassociation).
@@ -76,6 +90,10 @@ def chol_sample_pallas(P: jax.Array, b: jax.Array, xi: jax.Array,
     pad = (-B) % tile
     if pad:
         eye = jnp.broadcast_to(jnp.eye(K, dtype=dtype), (pad, K, K))
+        if Lambda is not None:
+            # padded lanes get P=I and will also receive +Lambda; ensure
+            # they stay PD — I + Lambda is PD, so nothing to do
+            pass
         P = jnp.concatenate([P, eye], axis=0)
         b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
         xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
@@ -85,19 +103,31 @@ def chol_sample_pallas(P: jax.Array, b: jax.Array, xi: jax.Array,
     xt = xi.T
 
     grid = (Bp // tile,)
-    out = pl.pallas_call(
-        functools.partial(_chol_sample_kernel, K=K),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
-    )(Pt, bt, xt)
+    tile_spec = [
+        pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    if Lambda is None:
+        out = pl.pallas_call(
+            functools.partial(_chol_sample_kernel, K=K),
+            grid=grid,
+            in_specs=tile_spec,
+            out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        )(Pt, bt, xt)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_chol_sample_lam_kernel, K=K),
+            grid=grid,
+            in_specs=[tile_spec[0],
+                      pl.BlockSpec((K, K), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      tile_spec[1], tile_spec[2]],
+            out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        )(Pt, Lambda.astype(dtype), bt, xt)
     return out.T[:B]

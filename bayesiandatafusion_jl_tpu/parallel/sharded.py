@@ -43,10 +43,12 @@ from ..models.engine import (EntitySpec, MacauEngine, RelationSpec, _auc,
                              build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
-from ..ops.gramian import assemble_precision, predict_tuples
+from ..ops.gramian import (assemble_precision,
+                           assemble_precision_planned,
+                           predict_tuples)
 from ..ops.hyper import (normal_wishart_from_moments, sample_alpha,
                          sample_lambda_beta)
-from ..ops.mvn import chol_sample_dispatch
+from ..ops.mvn import chol_sample_dispatch, use_pallas_chol
 from ..utils.config import MacauConfig
 from ..utils.rng import draw_all, sweep_key
 from .mesh import AXIS, data_mesh, instance_permutation
@@ -89,9 +91,11 @@ class ShardedProblem:
             self.ent_meta.append(ShardedEntityMeta(n, n_pad, n_pad // n_dev))
 
         arrays_sh: Dict[str, Any] = {"layouts": {}, "feat": {}, "test": {},
-                                     "train": {}, "rowmask": {}}
+                                     "train": {}, "rowmask": {},
+                                     "acc_plan": {}}
         arrays_rep: Dict[str, Any] = {"ftf": {}}
         self.test_meta: Dict[int, Dict[str, Any]] = {}
+        host_inst: Dict[str, List[List[np.ndarray]]] = {}  # key -> [dev][bucket]
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -117,8 +121,10 @@ class ShardedProblem:
                         loc_idx, centered[sel], mode, meta.n_loc,
                         widths=config.bucket_widths, row_pad=config.row_pad,
                         dtype=dtype))
-                arrays_sh["layouts"][f"r{ri}m{mode}"] = \
-                    self._stack_layouts(per_dev, rel.arity, dtype)
+                stacked, dev_inst = self._stack_layouts(per_dev, rel.arity,
+                                                        dtype)
+                arrays_sh["layouts"][f"r{ri}m{mode}"] = stacked
+                host_inst[f"r{ri}m{mode}"] = dev_inst
 
             if rel.test_idx.shape[0]:
                 t_idx = np.stack([pos_of[eids[d]][rel.test_idx[:, d]]
@@ -169,6 +175,32 @@ class ShardedProblem:
             rm.reshape(-1)[:meta.n] = 1.0
             arrays_sh["rowmask"][f"e{ei}"] = jnp.asarray(rm)
 
+        # per-device accumulation plans (static gather + overflow), stacked
+        from ..ops.gramian import plan_accumulation
+        for ei in range(len(rd.entities)):
+            meta = self.ent_meta[ei]
+            plans = []
+            for d in range(n_dev):
+                inst_list = []
+                for ri, rs in enumerate(self.rel_specs):
+                    for mode in range(rs.arity):
+                        if rs.entity_ids[mode] != ei:
+                            continue
+                        inst_list.extend(host_inst[f"r{ri}m{mode}"][d])
+                plans.append(plan_accumulation(inst_list, meta.n_loc))
+            rmax = max(len(p["ov_rows"]) for p in plans)
+            first = np.stack([p["first"] for p in plans])
+            has = np.stack([p["has"] for p in plans])
+            ov_rows = np.zeros((n_dev, rmax), np.int32)
+            ov_inst = np.full((n_dev, rmax), meta.n_loc, np.int32)
+            for d, p in enumerate(plans):
+                ov_rows[d, :len(p["ov_rows"])] = p["ov_rows"]
+                ov_inst[d, :len(p["ov_inst"])] = p["ov_inst"]
+            arrays_sh["acc_plan"][f"e{ei}"] = {
+                "first": jnp.asarray(first), "has": jnp.asarray(has),
+                "ov_rows": jnp.asarray(ov_rows),
+                "ov_inst": jnp.asarray(ov_inst)}
+
         self.arrays_sh = arrays_sh
         self.arrays_rep = arrays_rep
         self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
@@ -177,10 +209,15 @@ class ShardedProblem:
                                              self.rel_specs, config)
 
     def _stack_layouts(self, per_dev, arity, dtype):
-        """Unify bucket widths across devices, pad rows, stack on axis 0."""
+        """Unify bucket widths across devices, pad rows, stack on axis 0.
+
+        Returns (stacked buckets, per-device inst arrays in bucket order)
+        — the latter feeds the per-device accumulation plans.
+        """
         n_dev = len(per_dev)
         widths = sorted({b.width for ml in per_dev for b in ml.buckets})
         out = []
+        dev_inst: List[List[np.ndarray]] = [[] for _ in range(n_dev)]
         for w in widths:
             per = [next((b for b in ml.buckets if b.width == w), None)
                    for ml in per_dev]
@@ -194,16 +231,18 @@ class ShardedProblem:
             mask = np.zeros((n_dev, rows, w), dtype)
             for d, b in enumerate(per):
                 if b is None:
+                    dev_inst[d].append(inst[d])
                     continue
                 inst[d, :b.n_rows] = b.inst
                 for k in range(arity - 1):
                     part[k][d, :b.n_rows] = b.part[k]
                 val[d, :b.n_rows] = b.val
                 mask[d, :b.n_rows] = b.mask
+                dev_inst[d].append(inst[d])
             out.append({"inst": jnp.asarray(inst),
                         "part": [jnp.asarray(p) for p in part],
                         "val": jnp.asarray(val), "mask": jnp.asarray(mask)})
-        return out
+        return out, dev_inst
 
     def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):
         """Block-partition a tuple list across devices (sequential order)."""
@@ -506,12 +545,49 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                             for d in range(rs.arity) if d != mode]
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
-        P_acc, b_acc = assemble_precision(Lambda, prior_mean, contribs,
-                                          meta.n_loc)
+        gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
+        if cfg.accumulation == "planned":
+            P_acc, b_acc = assemble_precision_planned(
+                Lambda, prior_mean, contribs, meta.n_loc,
+                loc(arrays_sh["acc_plan"])[f"e{ei}"], gram_dtype=gd)
+        else:
+            fuse = use_pallas_chol(cfg)
+            P_acc, b_acc = assemble_precision(
+                Lambda, prior_mean, contribs, meta.n_loc, gram_dtype=gd,
+                fuse_lambda=fuse)
         xi_loc = rnd_sh[f"e{ei}.xi"]
-        U_new_loc = chol_sample_dispatch(cfg, P_acc, b_acc, xi_loc)
-        # --- factor exchange: all-gather the freshly sampled shard ---
-        ent["U"] = jax.lax.all_gather(U_new_loc, AXIS, axis=0, tiled=True)
+        # --- sample + factor exchange, block-pipelined (SURVEY §7.7): the
+        # local shard is sampled in `exchange_blocks` chunks and each
+        # chunk's all-gather is issued immediately, so XLA's async
+        # collectives overlap block b's exchange with block b+1's
+        # Cholesky-sample (rows of one entity are conditionally
+        # independent, so block order is irrelevant to the math) ---
+        fused_lam = (Lambda if (cfg.accumulation != "planned"
+                                and use_pallas_chol(cfg)) else None)
+        n_blk = max(1, min(cfg.exchange_blocks, meta.n_loc))
+        blk = meta.n_loc // n_blk
+        if n_blk == 1 or blk * n_blk != meta.n_loc:
+            U_new_loc = chol_sample_dispatch(cfg, P_acc, b_acc, xi_loc,
+                                             Lambda=fused_lam)
+            ent["U"] = jax.lax.all_gather(U_new_loc, AXIS, axis=0,
+                                          tiled=True)
+        else:
+            chunks, gathered = [], []
+            for c in range(n_blk):
+                sl = slice(c * blk, (c + 1) * blk)
+                u_c = chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
+                                           xi_loc[sl], Lambda=fused_lam)
+                chunks.append(u_c)
+                gathered.append(jax.lax.all_gather(u_c, AXIS, axis=0,
+                                                   tiled=True))
+            # interleave: global order = per-device [blk0|blk1|...], and
+            # all_gather(tiled) of chunk c yields [n_dev*blk] rows that
+            # belong at positions d*n_loc + c*blk
+            n_dev_ax = jax.lax.axis_size(AXIS)
+            parts = [g.reshape(n_dev_ax, blk, -1) for g in gathered]
+            ent["U"] = jnp.concatenate(parts, axis=1).reshape(
+                meta.n_pad, -1)
+            U_new_loc = jnp.concatenate(chunks, axis=0)
         ents[ei] = ent
         metrics[f"e{ei}.unorm"] = jnp.sqrt(psum(jnp.sum(U_new_loc ** 2)))
 

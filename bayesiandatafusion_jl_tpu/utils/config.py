@@ -54,6 +54,9 @@ class MacauConfig:
     chol_jitter: float = 0.0    # added to diag of per-row precision before Cholesky
     # Pallas kernels: "auto" = on TPU for f32 and K<=64; "on"/"off" force
     pallas: str = "auto"
+    # Gramian gather/contraction dtype: None = compute dtype; "bfloat16"
+    # halves gather HBM traffic (accumulation stays f32)
+    gram_dtype: Optional[str] = None
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold
@@ -62,7 +65,13 @@ class MacauConfig:
     cg_maxiter: int = 200
 
     # --- TPU layout (no reference counterpart; SURVEY §9.0) ---
-    bucket_widths: Sequence[int] = (8, 32, 128, 512, 2048)
+    bucket_widths: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+    # Gramian-row accumulation: "segment" = one segment_sum (best on TPU);
+    # "planned" = static first-row gather + overflow (see ops/gramian.py)
+    accumulation: str = "segment"
+    # sharded engine: sample/exchange the local shard in this many chunks so
+    # block b's all-gather overlaps block b+1's Cholesky-sample (SURVEY §7.7)
+    exchange_blocks: int = 1
     row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
 
     # --- aux subsystems (SURVEY §7) ---

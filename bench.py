@@ -59,7 +59,7 @@ def main():
     rd.assign_to_test(0, n_test, seed=7)
     cfg = MacauConfig(num_latent=rank, burnin=sweeps_timed, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
-                      seed=42)
+                      gram_dtype="bfloat16", seed=42)
     eng = MacauEngine(rd, cfg)
     build_s = time.time() - t0
     print(f"# data+layout build: {build_s:.1f}s "

@@ -111,3 +111,26 @@ def test_sharded_matches_single_tensor_multirel_alpha():
     cfg = MacauConfig(num_latent=2, burnin=1, psamples=2, verbose=False,
                       dtype="float64", seed=8)
     _compare_engines(build, cfg, n_sweeps=3)
+
+
+def test_block_pipelined_exchange_matches():
+    """exchange_blocks > 1 must not change results (row blocks of one
+    entity are conditionally independent; SURVEY §7.7)."""
+    rng = np.random.default_rng(9)
+    df = _lowrank(rng, 64, 48)
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 60, seed=1)
+        return rd
+    cfg1 = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                       dtype="float64", seed=5, exchange_blocks=1)
+    cfg4 = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                       dtype="float64", seed=5, exchange_blocks=4)
+    e1 = ShardedMacauEngine(build(), cfg1, mesh=data_mesh())
+    r1 = e1.run(num_sweeps=3)
+    e4 = ShardedMacauEngine(build(), cfg4, mesh=data_mesh())
+    r4 = e4.run(num_sweeps=3)
+    U1 = e1.factors_original_order(r1["state"][0])
+    U4 = e4.factors_original_order(r4["state"][0])
+    for a, b in zip(U1, U4):
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
