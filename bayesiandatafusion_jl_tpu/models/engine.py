@@ -281,7 +281,8 @@ class MacauEngine:
             uhat = ent.get("uhat")
             if es.has_features:
                 # β draw first, with current Λ (SURVEY §4.6 order)
-                ent = self._sample_beta(arrays, ent, es, ei, randoms)
+                with jax.named_scope(f"beta_e{ei}"):
+                    ent = self._sample_beta(arrays, ent, es, ei, randoms)
                 if cfg.sample_lambda_beta:
                     ent["lambda_beta"] = sample_lambda_beta(
                         ent["beta"], Lambda, randoms[f"e{ei}.lb_g"],
@@ -290,7 +291,8 @@ class MacauEngine:
 
             # Normal-Wishart on the residual (SURVEY §4.3)
             S = U - uhat if uhat is not None else U
-            mu, Lambda = normal_wishart_update(
+            with jax.named_scope(f"nw_e{ei}"):
+                mu, Lambda = normal_wishart_update(
                 S, cfg.nw_b0, nu0,
                 2.0 * randoms[f"e{ei}.nw_g"],
                 randoms[f"e{ei}.nw_tri"], randoms[f"e{ei}.nw_mu"])
@@ -467,6 +469,9 @@ class MacauEngine:
                 if cfg.output_prefix is not None and s >= cfg.burnin:
                     self._save_sample(cfg.output_prefix, s - cfg.burnin,
                                       state)
+                if (cfg.checkpoint_every and cfg.checkpoint_path
+                        and (s + 1) % cfg.checkpoint_every == 0):
+                    self.save_state(cfg.checkpoint_path, state, s + 1)
                 if callback is not None:
                     callback(s, phase, metrics, dt)
                 if cfg.verbose:

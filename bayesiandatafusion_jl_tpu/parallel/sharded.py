@@ -458,6 +458,22 @@ class ShardedMacauEngine:
                 out["predictions"] = rel_out["predictions"]
         return out
 
+    # -- checkpoint/resume (SURVEY §7.4); counter-based RNG => exact ------
+    def save_state(self, path: str, state, sweep: int) -> None:
+        state_rep, state_sh = state
+        flat, _ = jax.tree_util.tree_flatten(
+            jax.device_get((state_rep, state_sh)))
+        np.savez(path, sweep=sweep, n_leaves=len(flat),
+                 **{f"leaf{i}": a for i, a in enumerate(flat)})
+
+    def load_state(self, path: str):
+        z = np.load(path)
+        template = self.init_state()
+        flat, treedef = jax.tree_util.tree_flatten(template)
+        leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(flat))]
+        return (jax.tree_util.tree_unflatten(treedef, leaves),
+                int(z["sweep"]))
+
     def factors_original_order(self, state_rep) -> List[np.ndarray]:
         """U matrices back in original instance order (for tests/inspection)."""
         out = []

@@ -82,6 +82,10 @@ class MacauConfig:
     output_prefix: Optional[str] = None
     # jax.profiler trace directory for one profiled sweep (§7.1); None = off
     trace_dir: Optional[str] = None
+    # periodic state snapshot for failure recovery (§7.3): every N sweeps
+    # write {checkpoint_path}; 0 = off.  Resume via MacauEngine.load_state.
+    checkpoint_every: int = 0
+    checkpoint_path: Optional[str] = None
 
     def np_dtype(self):
         return np.dtype(self.dtype)

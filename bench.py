@@ -25,6 +25,8 @@ JULIA_ROWS_PER_S_ANCHOR = 1e5  # SURVEY §8 literature anchor, per core
 def main():
     import jax
 
+    if os.environ.get("BENCH_CONFIG") == "chembl":
+        return chembl_bench()
     smoke = os.environ.get("BENCH_SMOKE") == "1"
     variant = "100k" if smoke else "10m"
     sweeps_timed = 10 if smoke else 40
@@ -59,7 +61,9 @@ def main():
     rd.assign_to_test(0, n_test, seed=7)
     cfg = MacauConfig(num_latent=rank, burnin=sweeps_timed, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
-                      gram_dtype="bfloat16", seed=42)
+                      gram_dtype="bfloat16", seed=42,
+                      bucket_widths=(8, 16, 24, 32, 48, 64, 96, 128, 192,
+                                     256, 384, 512, 1024, 2048))
     eng = MacauEngine(rd, cfg)
     build_s = time.time() - t0
     print(f"# data+layout build: {build_s:.1f}s "
@@ -97,6 +101,47 @@ def main():
         "value": round(rows_per_s, 1),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_s / JULIA_ROWS_PER_S_ANCHOR, 2),
+    }))
+
+
+def chembl_bench():
+    """Secondary config (BASELINE.md #3): Macau + ECFP side features, CG
+    link-matrix solver.  BENCH_CONFIG=chembl python bench.py"""
+    import jax
+    import jax.numpy as jnp
+    from bayesiandatafusion_jl_tpu.models.datasets import synthetic_chembl
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
+
+    t0 = time.time()
+    _ = float(jax.jit(lambda: jnp.zeros(()))())
+    print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    rd = synthetic_chembl(n_compounds=15_000, n_targets=346,
+                          n_features=32_000, nnz=300_000, seed=3)
+    rd.assign_to_test(0, 30_000, seed=7)
+    cfg = MacauConfig(num_latent=32, burnin=20, psamples=0, verbose=False,
+                      dtype="float32", gram_dtype="bfloat16",
+                      use_ff=False, cg_maxiter=100, seed=42)
+    eng = MacauEngine(rd, cfg)
+    key = jax.random.key(cfg.seed)
+    state = eng.init_state(jax.random.fold_in(key, 0))
+    state, m = eng._sweep_jit(eng.problem.arrays, state, sweep_key(key, 1),
+                              0.0)
+    _ = float(m["r0.rmse_sample"])
+    sweeps = 20
+    t0 = time.time()
+    for s in range(2, sweeps + 2):
+        state, m = eng._sweep_jit(eng.problem.arrays, state,
+                                  sweep_key(key, s), 1.0)
+    rmse = float(m["r0.rmse_avg"])
+    dt = (time.time() - t0) / sweeps
+    n_rows = sum(es.n for es in eng.problem.entity_specs)
+    print(json.dumps({
+        "metric": f"chembl macau-CG rows/s/chip (rmse@{sweeps}={rmse:.4f})",
+        "value": round(n_rows / dt, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(n_rows / dt / JULIA_ROWS_PER_S_ANCHOR, 2),
     }))
 
 

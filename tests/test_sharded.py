@@ -134,3 +134,28 @@ def test_block_pipelined_exchange_matches():
     U4 = e4.factors_original_order(r4["state"][0])
     for a, b in zip(U1, U4):
         np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_checkpoint_resume_exact(tmp_path):
+    rng = np.random.default_rng(11)
+    df = _lowrank(rng, 40, 24)
+    rd = bdf.RelationData.from_indexed_df(df)
+    rd.assign_to_test(0, 40, seed=2)
+    cfg = MacauConfig(num_latent=3, burnin=3, psamples=3, verbose=False,
+                      dtype="float32", seed=21)
+    eng = ShardedMacauEngine(rd, cfg, mesh=data_mesh())
+    key = jax.random.key(cfg.seed)
+    full = eng.run(state=eng.init_state(jax.random.fold_in(key, 0)), key=key)
+
+    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
+    st = eng.init_state(jax.random.fold_in(key, 0))
+    sr, ss = st
+    p = eng.problem
+    for s in range(3):
+        sr, ss, _ = eng._sweep_jit(p.arrays_sh, p.arrays_rep, sr, ss,
+                                   sweep_key(key, s + 1), 0.0)
+    path = str(tmp_path / "sck.npz")
+    eng.save_state(path, (sr, ss), 3)
+    st2, sw = eng.load_state(path)
+    resumed = eng.run(state=st2, key=key, sweep_offset=sw)
+    assert full["RMSE"] == resumed["RMSE"]
