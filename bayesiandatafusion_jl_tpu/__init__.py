@@ -12,8 +12,9 @@ from .models.data import (Entity, EntityModel, IndexedDF, Relation,
                           RelationData, RelationModel)
 from .models.engine import (CompiledProblem, MacauEngine, macau,
                             predict_out_of_matrix)
-from .ops.sparse import (SparseBinMatrix, read_sparse_binary,
-                         read_sparse_float64, write_sparse_binary,
+from .ops.sparse import (SparseBinMatrix, read_matrix_market,
+                         read_sparse_binary, read_sparse_float64,
+                         write_matrix_market, write_sparse_binary,
                          write_sparse_float64)
 from .utils.config import MacauConfig
 
@@ -25,4 +26,5 @@ __all__ = [
     "CompiledProblem", "SparseBinMatrix",
     "read_sparse_binary", "write_sparse_binary",
     "read_sparse_float64", "write_sparse_float64",
+    "read_matrix_market", "write_matrix_market",
 ]

@@ -165,6 +165,51 @@ def read_sparse_binary(path: str) -> SparseBinMatrix:
     return SparseBinMatrix(rows, cols, (int(nrow), int(ncol)))
 
 
+def read_matrix_market(path: str):
+    """Minimal MatrixMarket coordinate reader (the reference README loads
+    relation/feature matrices via MatrixMarket [MED]; SURVEY §2 L6).
+
+    Returns (rows, cols, vals, shape) 0-based; pattern matrices get
+    vals = 1.0.
+    """
+    with open(path) as f:
+        header = f.readline()
+        if not header.startswith("%%MatrixMarket"):
+            raise ValueError(f"{path}: not a MatrixMarket file")
+        parts = header.split()
+        if "coordinate" not in parts:
+            raise ValueError("only coordinate (sparse) format supported")
+        pattern = "pattern" in parts
+        symmetric = "symmetric" in parts
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        nrow, ncol, nnz = (int(x) for x in line.split())
+        rows = np.empty(nnz, np.int64)
+        cols = np.empty(nnz, np.int64)
+        vals = np.ones(nnz, np.float64)
+        for i in range(nnz):
+            toks = f.readline().split()
+            rows[i] = int(toks[0]) - 1
+            cols[i] = int(toks[1]) - 1
+            if not pattern and len(toks) > 2:
+                vals[i] = float(toks[2])
+    if symmetric:
+        off = rows != cols
+        rows = np.concatenate([rows, cols[off]])
+        cols = np.concatenate([cols, rows[:nnz][off]])
+        vals = np.concatenate([vals, vals[off]])
+    return rows, cols, vals, (nrow, ncol)
+
+
+def write_matrix_market(path: str, rows, cols, vals, shape) -> None:
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{shape[0]} {shape[1]} {len(vals)}\n")
+        for r, c, v in zip(rows, cols, vals):
+            f.write(f"{int(r) + 1} {int(c) + 1} {v:.17g}\n")
+
+
 def write_sparse_float64(path: str, rows: np.ndarray, cols: np.ndarray,
                          vals: np.ndarray, shape: Tuple[int, int]) -> None:
     with open(path, "wb") as f:

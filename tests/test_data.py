@@ -126,3 +126,18 @@ def test_sparse_io_roundtrip(tmp_path):
     np.testing.assert_array_equal(r, m.rows)
     np.testing.assert_allclose(v, vals)
     assert shp == m.shape
+
+
+def test_matrix_market_roundtrip(tmp_path):
+    from bayesiandatafusion_jl_tpu.ops.sparse import (read_matrix_market,
+                                                      write_matrix_market)
+    rng = np.random.default_rng(4)
+    dense = np.where(rng.random((6, 9)) < 0.3, rng.random((6, 9)), 0.0)
+    r, c = np.nonzero(dense)
+    p = str(tmp_path / "m.mtx")
+    write_matrix_market(p, r, c, dense[r, c], dense.shape)
+    rr, cc, vv, shp = read_matrix_market(p)
+    assert shp == dense.shape
+    back = np.zeros(shp)
+    back[rr, cc] = vv
+    np.testing.assert_allclose(back, dense)

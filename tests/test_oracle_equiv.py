@@ -139,3 +139,20 @@ def test_multirelation_alpha_equivalence():
     rd.set_precision("r2", 2.0, sample=True)
     cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=16)
     _run_equiv(rd, cfg, n_sweeps=3, check_alpha=True)
+
+
+def test_symmetric_relation_equivalence():
+    """Same entity on both modes (e.g. drug x drug interaction): each mode
+    gets its own layout; partner gathers read the entity's own current
+    factors.  Engine must match the oracle exactly."""
+    rng = np.random.default_rng(6)
+    n = 18
+    mask = rng.random((n, n)) < 0.4
+    np.fill_diagonal(mask, False)
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, rng.standard_normal(idx.shape[0]), (n, n))
+    e = bdf.Entity("drug", count=n)
+    rd = bdf.RelationData()
+    rd.add_relation(df, "interaction", [e, e])
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=19)
+    _run_equiv(rd, cfg, n_sweeps=3)
