@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Entity", "EntityModel", "IndexedDF", "Relation", "RelationData",
     "RelationModel", "macau", "MacauEngine", "MacauConfig",
-    "CompiledProblem", "SparseBinMatrix",
+    "CompiledProblem", "SparseBinMatrix", "predict_out_of_matrix",
     "read_sparse_binary", "write_sparse_binary",
     "read_sparse_float64", "write_sparse_float64",
     "read_matrix_market", "write_matrix_market",

@@ -36,8 +36,7 @@ from ..ops.gramian import (assemble_precision,
                            predict_tuples)
 from ..ops.hyper import (normal_wishart_update, sample_alpha,
                          sample_lambda_beta)
-from ..ops.mvn import (chol_sample, chol_sample_dispatch,
-                       use_pallas_chol)
+from ..ops.mvn import chol_sample_dispatch, use_pallas_chol
 from ..utils.config import MacauConfig
 from ..utils.rng import DrawSpec, RandomSpec, draw_all, sweep_key
 from .data import RelationData

@@ -53,22 +53,6 @@ def bucket_gramian(
     return P, b
 
 
-def accumulate_mode(
-    P_acc: jax.Array,                      # [N, K, K]
-    b_acc: jax.Array,                      # [N, K]
-    alpha: jax.Array,                      # scalar
-    partner_factors: Sequence[jax.Array],
-    bucket_arrays: Sequence[Dict[str, jax.Array]],  # per bucket: inst/part/val/mask
-) -> Tuple[jax.Array, jax.Array]:
-    """Add one (relation, mode)'s contributions into the accumulators."""
-    for ba in bucket_arrays:
-        P, b = bucket_gramian(partner_factors, ba["part"], ba["val"], ba["mask"])
-        inst = ba["inst"]
-        P_acc = P_acc.at[inst].add(alpha * P)
-        b_acc = b_acc.at[inst].add(alpha * b)
-    return P_acc, b_acc
-
-
 def assemble_precision(
     Lambda: jax.Array,        # [K, K]
     prior_mean: jax.Array,    # [N, K]

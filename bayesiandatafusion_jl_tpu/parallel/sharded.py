@@ -39,7 +39,7 @@ from jax.lax import linalg as lxl
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.data import RelationData
-from ..models.engine import (EntitySpec, MacauEngine, RelationSpec, _auc,
+from ..models.engine import (EntitySpec, RelationSpec, _auc,
                              build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg

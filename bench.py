@@ -38,12 +38,19 @@ def main():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
     from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
 
-    # The axon loopback relay stalls ~200s on the FIRST device->host
-    # transfer of a process, then is fast; pay it before any timing.
-    t0 = time.time()
+    # The axon loopback relay stalls minutes on the FIRST device->host
+    # transfer of a process, then is fast; pay it on a background thread
+    # overlapped with the host-side data/layout build.
+    import threading
     import jax.numpy as jnp
-    _ = float(jax.jit(lambda: jnp.zeros(()))())
-    print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    tw = time.time()
+
+    def _warm():
+        _ = float(jax.jit(lambda: jnp.zeros(()))())
+        print(f"# d2h warmup: {time.time()-tw:.1f}s", file=sys.stderr)
+
+    warm_thread = threading.Thread(target=_warm)
+    warm_thread.start()
 
     t0 = time.time()
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -69,6 +76,7 @@ def main():
     print(f"# data+layout build: {build_s:.1f}s "
           f"(nnz={df.nnz}, shape={df.shape})", file=sys.stderr)
 
+    warm_thread.join()
     key = jax.random.key(cfg.seed)
     state = eng.init_state(jax.random.fold_in(key, 0))
     # compile + warmup (excluded from timing)
