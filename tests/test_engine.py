@@ -174,3 +174,19 @@ def test_auc_helper():
     assert _auc(labels, scores) == 1.0
     assert _auc(labels, -scores) == 0.0
     assert _auc(labels, np.ones(4)) == 0.5
+
+
+def test_bf16_gramian_close_to_f32():
+    """gram_dtype=bfloat16 must not meaningfully change results (it only
+    affects the Gramian contraction inputs; accumulation stays f32)."""
+    rng = np.random.default_rng(12)
+    df = _lowrank_matrix(rng, 60, 45, 4)
+    def run(gd):
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 150, seed=3)
+        cfg = MacauConfig(num_latent=4, burnin=10, psamples=10,
+                          verbose=False, dtype="float32", gram_dtype=gd,
+                          seed=31)
+        return MacauEngine(rd, cfg).run()["RMSE"]
+    r32, rb = run(None), run("bfloat16")
+    assert abs(r32 - rb) < 0.05, (r32, rb)
