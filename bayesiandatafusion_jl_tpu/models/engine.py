@@ -31,6 +31,7 @@ from jax.lax import linalg as lxl
 
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
+from ..ops.spmv import bucketed_spmm
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
                            predict_tuples)
@@ -130,8 +131,14 @@ class CompiledProblem:
                 pref = ent.use_ff if ent.use_ff is not None else config.use_ff
                 use_ff = (nf <= config.ff_threshold) if pref is None else bool(pref)
                 F = ent.F
+                from ..ops.spmv import build_bucketed_matvec
+                colcount = np.bincount(F.cols, minlength=nf).astype(dtype)
                 arrays["feat"][f"e{ei}"] = {
-                    "rows": jnp.asarray(F.rows), "cols": jnp.asarray(F.cols)}
+                    "mv": build_bucketed_matvec(
+                        F.rows, F.cols, F.shape,
+                        widths=config.bucket_widths,
+                        row_pad=config.row_pad, dtype=dtype),
+                    "colcount": jnp.asarray(colcount)}
                 if use_ff:
                     try:
                         import scipy.sparse as sp
@@ -386,7 +393,7 @@ class MacauEngine:
         U, mu, Lambda = ent["U"], ent["mu"], ent["Lambda"]
         lam = ent["lambda_beta"]
         feat = arrays["feat"][f"e{ei}"]
-        rows, cols = feat["rows"], feat["cols"]
+        mv = feat["mv"]
         N, F = es.n, es.num_features
 
         # E rows ~ N(0, Lambda^{-1}):  e = L^{-T} z  (L = chol(Lambda))
@@ -398,7 +405,7 @@ class MacauEngine:
         E2 = colored(randoms[f"e{ei}.beta_e2"])
 
         resid = U - mu[None, :] + E1
-        Xt_resid = jax.ops.segment_sum(resid[rows], cols, num_segments=F)
+        Xt_resid = bucketed_spmm(mv["t"], F, resid)
         rhs = Xt_resid + jnp.sqrt(lam) * E2
 
         if es.use_ff:
@@ -409,15 +416,18 @@ class MacauEngine:
                                         transpose_a=True)
         else:
             def matvec(V):
-                XV = jax.ops.segment_sum(V[cols], rows, num_segments=N,
-                                         indices_are_sorted=True)
-                return (jax.ops.segment_sum(XV[rows], cols, num_segments=F)
-                        + lam * V)
+                XV = bucketed_spmm(mv["fwd"], N, V)
+                return bucketed_spmm(mv["t"], F, XV) + lam * V
+            # Jacobi preconditioner: diag(X'X + lam I) = col counts + lam.
+            # f32's recursive residual stalls around ~1e-5 relative, so
+            # floor the tolerance there to avoid burning maxiter.
+            tol = cfg.cg_tol if self.dtype == jnp.float64 \
+                else max(cfg.cg_tol, 1e-5)
             beta, _ = block_cg(matvec, rhs, ent["beta"],
-                               tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+                               tol=tol, maxiter=cfg.cg_maxiter,
+                               precond_diag=feat["colcount"] + lam)
 
-        uhat = jax.ops.segment_sum(beta[cols], rows, num_segments=N,
-                                   indices_are_sorted=True)
+        uhat = bucketed_spmm(mv["fwd"], N, beta)
         out = dict(ent)
         out["beta"], out["uhat"] = beta, uhat
         return out

@@ -26,34 +26,51 @@ def block_cg(
     x0: jax.Array,        # [F, K] warm start
     tol: float = 1e-6,
     maxiter: int = 200,
+    precond_diag: jax.Array | None = None,  # [F] Jacobi preconditioner
 ) -> Tuple[jax.Array, jax.Array]:
-    """Solve A x = rhs for SPD A, K columns at once. Returns (x, n_iters)."""
+    """Solve A x = rhs for SPD A, K columns at once. Returns (x, n_iters).
+
+    With ``precond_diag`` (e.g. diag(X'X) + lambda = column counts +
+    lambda for binary X) runs Jacobi-preconditioned CG — the feature
+    columns of ECFP-style matrices have wildly varying counts, and the
+    diagonal scaling roughly halves the iteration count at the same
+    tolerance.  Convergence is still measured on the TRUE residual norm,
+    so the solution contract is unchanged.
+    """
     dtype = rhs.dtype
     rhs_nrm2 = jnp.maximum(jnp.sum(rhs * rhs, axis=0),
                            jnp.asarray(1e-30, dtype))  # [K]
     tol2 = jnp.asarray(tol * tol, dtype)
+    minv = None if precond_diag is None else \
+        (1.0 / precond_diag)[:, None].astype(dtype)
+
+    def prec(r):
+        return r if minv is None else r * minv
 
     r0 = rhs - matvec(x0)
-    rs0 = jnp.sum(r0 * r0, axis=0)
+    z0 = prec(r0)
+    rz0 = jnp.sum(r0 * z0, axis=0)
 
     def cond(state):
-        _, _, _, rs, it = state
+        _, r, _, _, it = state
+        rs = jnp.sum(r * r, axis=0)
         return jnp.logical_and(it < maxiter,
                                jnp.max(rs / rhs_nrm2) > tol2)
 
     def body(state):
-        x, r, p, rs, it = state
+        x, r, p, rz, it = state
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=0)
         safe = denom > 0
-        a = jnp.where(safe, rs / jnp.where(safe, denom, 1.0), 0.0)
+        a = jnp.where(safe, rz / jnp.where(safe, denom, 1.0), 0.0)
         x = x + a * p
         r = r - a * Ap
-        rs_new = jnp.sum(r * r, axis=0)
-        b = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
-        p = r + b * p
-        return (x, r, p, rs_new, it + 1)
+        z = prec(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        b = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = z + b * p
+        return (x, r, p, rz_new, it + 1)
 
-    x, r, p, rs, it = jax.lax.while_loop(
-        cond, body, (x0, r0, r0, rs0, jnp.asarray(0, jnp.int32)))
+    x, r, p, rz, it = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, rz0, jnp.asarray(0, jnp.int32)))
     return x, it

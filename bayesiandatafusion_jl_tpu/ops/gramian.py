@@ -42,9 +42,12 @@ def bucket_gramian(
     out_dtype = val.dtype
     if gram_dtype is not None:
         partner_factors = [U.astype(gram_dtype) for U in partner_factors]
-    z = jnp.take(partner_factors[0], part[0], axis=0)  # [rows, W, K]
+    # promise_in_bounds skips gather bounds checks (~10% on TPU); layout
+    # indices are validated at build time
+    z = partner_factors[0].at[part[0]].get(
+        mode="promise_in_bounds")                      # [rows, W, K]
     for U, p in zip(partner_factors[1:], part[1:]):
-        z = z * jnp.take(U, p, axis=0)                 # Hadamard (tensor modes)
+        z = z * U.at[p].get(mode="promise_in_bounds")  # Hadamard (tensors)
     zm = z * mask[..., None].astype(z.dtype)
     P = jnp.einsum("rwk,rwl->rkl", zm, zm,
                    preferred_element_type=out_dtype)
@@ -181,7 +184,7 @@ def predict_tuples(
     gathers into the contraction (19x faster on TPU than gather-then-
     multiply-then-sum, which materializes the gathered rows).
     """
-    gathered = [jnp.take(U, idx[:, d], axis=0)
+    gathered = [U.at[idx[:, d]].get(mode="promise_in_bounds")
                 for d, U in enumerate(factors)]
     spec = ",".join(["nk"] * len(factors)) + "->n"
     return mean_value + jnp.einsum(spec, *gathered)

@@ -689,8 +689,10 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
             Xt2 = jax.ops.segment_sum(XV[rows], cols,
                                       num_segments=F + 1)[:F]
             return psum(Xt2) + lam * V
+        tol = cfg.cg_tol if jnp.dtype(cfg.dtype) == jnp.float64 \
+            else max(cfg.cg_tol, 1e-5)
         beta, _ = block_cg(matvec, rhs, ent["beta"],
-                           tol=cfg.cg_tol, maxiter=cfg.cg_maxiter)
+                           tol=tol, maxiter=cfg.cg_maxiter)
 
     beta_ext = jnp.concatenate([beta, jnp.zeros((1, beta.shape[1]), dtype)])
     uhat_loc = jax.ops.segment_sum(beta_ext[cols], rows, num_segments=n_loc)
