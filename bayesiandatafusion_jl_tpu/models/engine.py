@@ -382,6 +382,20 @@ class MacauEngine:
             pmean = pr["sum"] / n_eff
             metrics[f"{pk}.rmse_avg"] = jnp.sqrt(
                 jnp.mean((pmean - te["vals"]) ** 2))
+            if rs.class_cut is not None:
+                # per-sweep AUC of the running posterior mean (reference
+                # verbose field, SURVEY §4.6) — rank statistic on device
+                labels = (te["vals"] < rs.class_cut).astype(dtype)
+                scores = -pmean
+                order = jnp.argsort(scores)
+                ranks = jnp.zeros_like(scores).at[order].set(
+                    jnp.arange(1, scores.shape[0] + 1, dtype=dtype))
+                n_pos = jnp.sum(labels)
+                n_neg = labels.shape[0] - n_pos
+                r_pos = jnp.sum(ranks * labels)
+                metrics[f"{pk}.auc"] = (
+                    (r_pos - n_pos * (n_pos + 1) / 2.0)
+                    / jnp.maximum(n_pos * n_neg, 1.0))
 
         new_state = {"ent": ents, "rel": rels, "pred": preds}
         return new_state, metrics

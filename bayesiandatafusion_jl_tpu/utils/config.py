@@ -92,3 +92,23 @@ class MacauConfig:
 
     def resolved_nu0(self) -> float:
         return float(self.num_latent if self.nw_nu0 is None else self.nw_nu0)
+
+    # -- file-based config (SURVEY §7.6: kwargs in the reference; YAML here
+    # for production runs) --------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str) -> "MacauConfig":
+        import yaml
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+        for k in ("clamp", "bucket_widths"):
+            if k in data and data[k] is not None:
+                data[k] = tuple(data[k])
+        return cls(**data)
+
+    def to_yaml(self, path: str) -> None:
+        import yaml
+        d = dataclasses.asdict(self)
+        d["clamp"] = list(self.clamp) if self.clamp else None
+        d["bucket_widths"] = list(self.bucket_widths)
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, sort_keys=False)

@@ -190,3 +190,12 @@ def test_bf16_gramian_close_to_f32():
         return MacauEngine(rd, cfg).run()["RMSE"]
     r32, rb = run(None), run("bfloat16")
     assert abs(r32 - rb) < 0.05, (r32, rb)
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = MacauConfig(num_latent=16, burnin=7, clamp=(1.0, 5.0),
+                      gram_dtype="bfloat16", bucket_widths=(8, 64))
+    p = str(tmp_path / "cfg.yaml")
+    cfg.to_yaml(p)
+    cfg2 = MacauConfig.from_yaml(p)
+    assert cfg2 == cfg
