@@ -41,13 +41,19 @@ def chol_sample(P: jax.Array, b: jax.Array, xi: jax.Array,
 
 def use_pallas_chol(cfg) -> bool:
     """Pallas fused sampler eligibility (ops/pallas_chol.py): TPU backend,
-    f32, K small enough that the unrolled kernel stays compilable."""
+    f32, K small enough that the unrolled kernel stays compilable.
+
+    The fully-unrolled kernel (K^3/6 vector statements) compiles for
+    K <= 32; K >= 48 crashes this toolchain's Mosaic compile helper —
+    larger K falls back to the XLA path (a tiled kernel is a future
+    item, docs/ROUND1_NOTES.md).
+    """
     if cfg.pallas == "off":
         return False
     if cfg.pallas == "on":
         return True
     return (jax.default_backend() not in ("cpu",)
-            and cfg.dtype == "float32" and cfg.num_latent <= 64)
+            and cfg.dtype == "float32" and cfg.num_latent <= 32)
 
 
 def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
