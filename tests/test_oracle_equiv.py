@@ -156,3 +156,19 @@ def test_symmetric_relation_equivalence():
     rd.add_relation(df, "interaction", [e, e])
     cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=19)
     _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_degree_zero_instances_equivalence():
+    """Instances with NO observations must sample from the prior
+    N(mu, Lambda^{-1}) — P = Lambda path, no NaNs, matches oracle."""
+    rng = np.random.default_rng(7)
+    n1, n2 = 20, 14
+    mask = rng.random((n1, n2)) < 0.4
+    mask[3, :] = False   # empty row
+    mask[:, 5] = False   # empty column
+    mask[0, 0] = True    # keep nnz > 0
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, rng.standard_normal(idx.shape[0]), (n1, n2))
+    rd = bdf.RelationData.from_indexed_df(df)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=23)
+    _run_equiv(rd, cfg, n_sweeps=3)
