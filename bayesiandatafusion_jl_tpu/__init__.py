@@ -11,7 +11,8 @@ helpers.  TPU-only additions live under ops/, parallel/ and utils/.
 from .models.data import (Entity, EntityModel, IndexedDF, Relation,
                           RelationData, RelationModel)
 from .models.engine import (CompiledProblem, MacauEngine, macau,
-                            predict_out_of_matrix)
+                            predict_out_of_matrix,
+                            predictions_frame)
 from .ops.sparse import (SparseBinMatrix, read_matrix_market,
                          read_sparse_binary, read_sparse_float64,
                          write_matrix_market, write_sparse_binary,
@@ -24,6 +25,7 @@ __all__ = [
     "Entity", "EntityModel", "IndexedDF", "Relation", "RelationData",
     "RelationModel", "macau", "MacauEngine", "MacauConfig",
     "CompiledProblem", "SparseBinMatrix", "predict_out_of_matrix",
+    "predictions_frame",
     "read_sparse_binary", "write_sparse_binary",
     "read_sparse_float64", "write_sparse_float64",
     "read_matrix_market", "write_matrix_market",

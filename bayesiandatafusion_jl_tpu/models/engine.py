@@ -518,12 +518,25 @@ class MacauEngine:
         np.savez(f"{prefix}-sample{psample_idx:04d}.npz", **out)
 
     def _print_sweep(self, s, phase, metrics, state):
+        """Reference-style verbose line (SURVEY §4.6): sweep, phase,
+        RMSE avg/sample, AUC, |U|, |beta|, alpha, lambda_beta, time."""
         parts = [f"sweep {s + 1:4d} [{phase:6s}]"]
         for ri, rs in enumerate(self.problem.rel_specs):
             k = f"r{ri}.rmse_avg"
             if k in metrics:
-                parts.append(f"{rs.name}: RMSE={metrics[k]:.4f} "
-                             f"(sample {metrics[f'r{ri}.rmse_sample']:.4f})")
+                line = (f"{rs.name}: RMSE={metrics[k]:.4f} "
+                        f"(sample {metrics[f'r{ri}.rmse_sample']:.4f})")
+                if f"r{ri}.auc" in metrics:
+                    line += f" AUC={metrics[f'r{ri}.auc']:.4f}"
+                parts.append(line)
+            if f"r{ri}.alpha" in metrics:
+                parts.append(f"a{ri}={metrics[f'r{ri}.alpha']:.2f}")
+        for ei in range(len(self.problem.entity_specs)):
+            if f"e{ei}.unorm" in metrics:
+                parts.append(f"|U{ei}|={metrics[f'e{ei}.unorm']:.1f}")
+            if f"e{ei}.betanorm" in metrics:
+                parts.append(f"|b{ei}|={metrics[f'e{ei}.betanorm']:.2f}"
+                             f" lb={metrics[f'e{ei}.lambda_beta']:.3f}")
         parts.append(f"{metrics['time']:.3f}s")
         print("  ".join(parts), flush=True)
 
@@ -573,6 +586,21 @@ class MacauEngine:
         leaves = [jnp.asarray(z[f"leaf{i}"]) for i in range(len(flat))]
         return (jax.tree_util.tree_unflatten(treedef, leaves),
                 int(z["sweep"]))
+
+
+def predictions_frame(result: Dict[str, Any], relation=None):
+    """Reference-style predictions table (the Julia package returns a
+    DataFrame with index columns + obs/pred/stdev; SURVEY §4.6).
+
+    ``result`` is macau()'s return value; ``relation`` picks a named
+    relation's sub-dict (default: top-level = first relation).
+    """
+    import pandas as pd
+    src = result[relation] if relation is not None else result
+    p = src["predictions"]
+    d = {f"idx{d_}": p["idx"][:, d_] for d_ in range(p["idx"].shape[1])}
+    d.update(obs=p["obs"], pred=p["pred"], stdev=p["stdev"])
+    return pd.DataFrame(d)
 
 
 def _auc(labels: np.ndarray, scores: np.ndarray) -> float:
