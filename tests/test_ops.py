@@ -114,3 +114,22 @@ def test_block_cg_warm_start_fewer_iters():
     _, it_warm = block_cg(matvec, jnp.asarray(rhs),
                           jnp.asarray(want + 1e-6), tol=1e-10, maxiter=500)
     assert int(it_warm) < int(it_cold)
+
+
+def test_bucketed_matvec_matches_dense():
+    from bayesiandatafusion_jl_tpu.ops.spmv import (build_bucketed_matvec,
+                                                    bucketed_spmm)
+    rng = np.random.default_rng(6)
+    N, F, K = 37, 53, 4
+    dense = (rng.random((N, F)) < 0.15).astype(np.float64)
+    r, c = np.nonzero(dense)
+    mv = build_bucketed_matvec(r.astype(np.int32), c.astype(np.int32),
+                               (N, F), widths=(4, 16), dtype=np.float64)
+    V = rng.standard_normal((F, K))
+    U = rng.standard_normal((N, K))
+    np.testing.assert_allclose(
+        np.asarray(bucketed_spmm(mv["fwd"], N, jnp.asarray(V))),
+        dense @ V, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(bucketed_spmm(mv["t"], F, jnp.asarray(U))),
+        dense.T @ U, rtol=1e-10)
