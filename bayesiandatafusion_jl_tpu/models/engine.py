@@ -309,9 +309,9 @@ class MacauEngine:
             S = U - uhat if uhat is not None else U
             with jax.named_scope(f"nw_e{ei}"):
                 mu, Lambda = normal_wishart_update(
-                S, cfg.nw_b0, nu0,
-                2.0 * randoms[f"e{ei}.nw_g"],
-                randoms[f"e{ei}.nw_tri"], randoms[f"e{ei}.nw_mu"])
+                    S, cfg.nw_b0, nu0,
+                    2.0 * randoms[f"e{ei}.nw_g"],
+                    randoms[f"e{ei}.nw_tri"], randoms[f"e{ei}.nw_mu"])
             ent["mu"], ent["Lambda"] = mu, Lambda
 
             # batched latent-row conditional (SURVEY §4.2)
@@ -328,6 +328,7 @@ class MacauEngine:
                     for ba in arrays["layouts"][f"r{ri}m{mode}"]:
                         contribs.append((rels[ri]["alpha"], partners, ba))
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
+            fuse = use_pallas_chol(cfg)
             if cfg.accumulation == "window":
                 # Pallas windowed one-hot reduction for the P side
                 # (ops/pallas_segsum.py); b side via segment_sum
@@ -341,7 +342,6 @@ class MacauEngine:
                     P_list.append(alpha * Pr)
                     b_rows.append(alpha * br)
                     i_rows.append(ba["inst"])
-                fuse = use_pallas_chol(cfg)
                 plan = dict(arrays["win_plan"][f"e{ei}"])
                 plan["meta"] = self.problem.win_plans[ei]
                 P_acc = segsum_windowed_pallas(P_list, plan, es.n)
@@ -352,35 +352,20 @@ class MacauEngine:
                     b_acc = b_acc + jax.ops.segment_sum(
                         jnp.concatenate(b_rows), jnp.concatenate(i_rows),
                         num_segments=es.n)
-                ent["U"] = chol_sample_dispatch(
-                    cfg, P_acc, b_acc, randoms[f"e{ei}.xi"],
-                    Lambda=Lambda if fuse else None)
-                ents[ei] = ent
-                metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
-                if es.has_features:
-                    metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(ent["beta"])
-                    metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
-                continue
-            if cfg.accumulation == "planned":
+                lam_fused = Lambda if fuse else None
+            elif cfg.accumulation == "planned":
                 P_acc, b_acc = assemble_precision_planned(
                     Lambda, prior_mean, contribs, es.n,
                     arrays["acc_plan"][f"e{ei}"], gram_dtype=gd)
+                lam_fused = None  # Lambda already in the accumulator
             else:
-                fuse = use_pallas_chol(cfg)
                 P_acc, b_acc = assemble_precision(
                     Lambda, prior_mean, contribs, es.n, gram_dtype=gd,
                     fuse_lambda=fuse)
-                ent["U"] = chol_sample_dispatch(
-                    cfg, P_acc, b_acc, randoms[f"e{ei}.xi"],
-                    Lambda=Lambda if fuse else None)
-                ents[ei] = ent
-                metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
-                if es.has_features:
-                    metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(ent["beta"])
-                    metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
-                continue
+                lam_fused = Lambda if fuse else None
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
-                                            randoms[f"e{ei}.xi"])
+                                            randoms[f"e{ei}.xi"],
+                                            Lambda=lam_fused)
             ents[ei] = ent
             metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
             if es.has_features:
