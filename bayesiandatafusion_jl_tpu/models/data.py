@@ -262,7 +262,7 @@ class RelationData:
         """Move n random observed entries (or the given rows) to the test set."""
         rel = self._rel(relation)
         df = rel.data
-        if np.isscalar(n_or_rows):
+        if np.isscalar(n_or_rows) or np.ndim(n_or_rows) == 0:
             n = int(n_or_rows)
             if n > df.nnz:
                 raise ValueError("test size exceeds nnz")
