@@ -63,6 +63,11 @@ class ShardedEntityMeta:
     n: int          # real instance count
     n_pad: int      # padded to a multiple of n_dev
     n_loc: int      # per-device shard size
+    n_head: int = 0  # head instances split across devices (ghost slots)
+
+    @property
+    def n_ext(self) -> int:
+        return self.n_loc + self.n_head
 
 
 class ShardedProblem:
@@ -80,6 +85,15 @@ class ShardedProblem:
         self.perms: List[np.ndarray] = []      # position -> original id
         pos_of: List[np.ndarray] = []          # original id -> position
 
+        # per-entity total degree (across all relations), for head splitting
+        deg_tot = [np.zeros(e.count, np.int64) for e in rd.entities]
+        for rel in rd.relations:
+            for d, e in enumerate(rel.entities):
+                deg_tot[ent_index[id(e)]] += np.bincount(
+                    rel.data.idx[:, d], minlength=e.count)
+
+        self.head_pos: List[np.ndarray] = []   # permuted POSITIONS of heads
+        self.head_rank: List[Dict[int, int]] = []
         for ei, ent in enumerate(rd.entities):
             n = ent.count
             perm = instance_permutation(n, ei)
@@ -88,11 +102,21 @@ class ShardedProblem:
             n_pad = _ceil_to(n, n_dev)
             self.perms.append(perm)
             pos_of.append(inv)
-            self.ent_meta.append(ShardedEntityMeta(n, n_pad, n_pad // n_dev))
+            thr = config.head_split_degree
+            if thr is not None:
+                head_ids = np.nonzero(deg_tot[ei] > thr)[0]
+            else:
+                head_ids = np.zeros(0, np.int64)
+            hpos = np.sort(inv[head_ids]) if len(head_ids) else head_ids
+            n_head = _ceil_to(len(hpos), 8) if len(hpos) else 0
+            self.head_pos.append(hpos)
+            self.head_rank.append({int(p): r for r, p in enumerate(hpos)})
+            self.ent_meta.append(ShardedEntityMeta(
+                n, n_pad, n_pad // n_dev, n_head))
 
         arrays_sh: Dict[str, Any] = {"layouts": {}, "feat": {}, "test": {},
                                      "train": {}, "rowmask": {},
-                                     "acc_plan": {}}
+                                     "acc_plan": {}, "headmap": {}}
         arrays_rep: Dict[str, Any] = {"ftf": {}}
         self.test_meta: Dict[int, Dict[str, Any]] = {}
         host_inst: Dict[str, List[List[np.ndarray]]] = {}  # key -> [dev][bucket]
@@ -110,15 +134,28 @@ class ShardedProblem:
                               for d in range(rel.arity)], axis=1)
             centered = rel.data.vals - mean_value
             for mode in range(rel.arity):
-                meta = self.ent_meta[eids[mode]]
+                em = eids[mode]
+                meta = self.ent_meta[em]
                 owner = idx_p[:, mode] // meta.n_loc
+                local_focus = idx_p[:, mode] - owner * meta.n_loc
+                if meta.n_head:
+                    # head observations round-robin across devices; they
+                    # accumulate into per-device GHOST slots psum-reduced
+                    # at sample time (SURVEY §7.7 head splitting)
+                    rank_map = self.head_rank[em]
+                    is_head = np.isin(idx_p[:, mode], self.head_pos[em])
+                    hsel = np.nonzero(is_head)[0]
+                    owner[hsel] = hsel % n_dev
+                    local_focus[hsel] = meta.n_loc + np.asarray(
+                        [rank_map[int(p)] for p in idx_p[hsel, mode]],
+                        np.int64)
                 per_dev = []
                 for d in range(n_dev):
                     sel = owner == d
                     loc_idx = idx_p[sel].copy()
-                    loc_idx[:, mode] -= d * meta.n_loc  # localize focus mode
+                    loc_idx[:, mode] = local_focus[sel]
                     per_dev.append(layout_mod.build_mode_layout(
-                        loc_idx, centered[sel], mode, meta.n_loc,
+                        loc_idx, centered[sel], mode, meta.n_ext,
                         widths=config.bucket_widths, row_pad=config.row_pad,
                         dtype=dtype))
                 stacked, dev_inst = self._stack_layouts(per_dev, rel.arity,
@@ -174,6 +211,16 @@ class ShardedProblem:
             rm = np.zeros((n_dev, meta.n_loc), dtype)
             rm.reshape(-1)[:meta.n] = 1.0
             arrays_sh["rowmask"][f"e{ei}"] = jnp.asarray(rm)
+            if meta.n_head:
+                # ghost-slot merge map: owner device + owner-local slot
+                slot = np.zeros((n_dev, meta.n_head), np.int32)
+                own = np.zeros((n_dev, meta.n_head), dtype)
+                for r, pos in enumerate(self.head_pos[ei]):
+                    d0 = int(pos) // meta.n_loc
+                    slot[d0, r] = int(pos) - d0 * meta.n_loc
+                    own[d0, r] = 1.0
+                arrays_sh["headmap"][f"e{ei}"] = {
+                    "slot": jnp.asarray(slot), "own": jnp.asarray(own)}
 
         # per-device accumulation plans (static gather + overflow), stacked
         from ..ops.gramian import plan_accumulation
@@ -187,12 +234,12 @@ class ShardedProblem:
                         if rs.entity_ids[mode] != ei:
                             continue
                         inst_list.extend(host_inst[f"r{ri}m{mode}"][d])
-                plans.append(plan_accumulation(inst_list, meta.n_loc))
+                plans.append(plan_accumulation(inst_list, meta.n_ext))
             rmax = max(len(p["ov_rows"]) for p in plans)
             first = np.stack([p["first"] for p in plans])
             has = np.stack([p["has"] for p in plans])
             ov_rows = np.zeros((n_dev, rmax), np.int32)
-            ov_inst = np.full((n_dev, rmax), meta.n_loc, np.int32)
+            ov_inst = np.full((n_dev, rmax), meta.n_ext, np.int32)
             for d, p in enumerate(plans):
                 ov_rows[d, :len(p["ov_rows"])] = p["ov_rows"]
                 ov_inst[d, :len(p["ov_inst"])] = p["ov_inst"]
@@ -562,7 +609,23 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
-        if cfg.accumulation == "planned":
+        if meta.n_head:
+            # head-entity splitting (SURVEY §7.7): ghost slots accumulate
+            # the round-robined head observations on every device; psum
+            # the ghost block and fold it into the owners' local slots
+            prior_ext = jnp.concatenate(
+                [prior_mean, jnp.zeros((meta.n_head, K), dtype)])
+            P_acc, b_acc = assemble_precision(
+                Lambda, prior_ext, contribs, meta.n_ext, gram_dtype=gd,
+                fuse_lambda=True)  # Lambda added at the sampler
+            hm = loc(arrays_sh["headmap"])[f"e{ei}"]
+            P_g = psum(P_acc[meta.n_loc:])
+            b_g = psum(b_acc[meta.n_loc:])
+            P_acc = P_acc[:meta.n_loc].at[hm["slot"]].add(
+                P_g * hm["own"][:, None, None])
+            b_acc = b_acc[:meta.n_loc].at[hm["slot"]].add(
+                b_g * hm["own"][:, None])
+        elif cfg.accumulation == "planned":
             P_acc, b_acc = assemble_precision_planned(
                 Lambda, prior_mean, contribs, meta.n_loc,
                 loc(arrays_sh["acc_plan"])[f"e{ei}"], gram_dtype=gd)
@@ -578,8 +641,9 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         # collectives overlap block b's exchange with block b+1's
         # Cholesky-sample (rows of one entity are conditionally
         # independent, so block order is irrelevant to the math) ---
-        fused_lam = (Lambda if (cfg.accumulation != "planned"
-                                and use_pallas_chol(cfg)) else None)
+        fused_lam = (Lambda if (meta.n_head
+                                or (cfg.accumulation != "planned"
+                                    and use_pallas_chol(cfg))) else None)
         n_blk = max(1, min(cfg.exchange_blocks, meta.n_loc))
         blk = meta.n_loc // n_blk
         if n_blk == 1 or blk * n_blk != meta.n_loc:

@@ -72,6 +72,11 @@ class MacauConfig:
     # sharded engine: sample/exchange the local shard in this many chunks so
     # block b's all-gather overlaps block b+1's Cholesky-sample (SURVEY §7.7)
     exchange_blocks: int = 1
+    # sharded engine: instances with total degree above this threshold get
+    # their observations ROUND-ROBINED across all devices and their Gramian
+    # psum-reduced (head-entity splitting, SURVEY §7.7 / BASELINE north
+    # star). None = off.
+    head_split_degree: Optional[int] = None
     row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
 
     # --- aux subsystems (SURVEY §7) ---

@@ -159,3 +159,37 @@ def test_sharded_checkpoint_resume_exact(tmp_path):
     st2, sw = eng.load_state(path)
     resumed = eng.run(state=st2, key=key, sweep_offset=sw)
     assert full["RMSE"] == resumed["RMSE"]
+
+
+def test_head_split_matches_single():
+    """Head-entity splitting (psum-reduced ghost slots) must reproduce the
+    unsplit result exactly (up to reduction order)."""
+    rng = np.random.default_rng(13)
+    n1, n2 = 40, 30
+    mask = rng.random((n1, n2)) < 0.3
+    mask[:, 0] = True   # head column: degree 40
+    mask[5, :] = True   # head row: degree 30
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, rng.standard_normal(idx.shape[0]), (n1, n2))
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 50, seed=1)
+        return rd
+
+    cfg_plain = MacauConfig(num_latent=3, burnin=1, psamples=2,
+                            verbose=False, dtype="float64", seed=9)
+    cfg_split = MacauConfig(num_latent=3, burnin=1, psamples=2,
+                            verbose=False, dtype="float64", seed=9,
+                            head_split_degree=20)
+    e1 = MacauEngine(build(), cfg_plain)
+    r1 = e1.run(num_sweeps=3)
+    e8 = ShardedMacauEngine(build(), cfg_split, mesh=data_mesh())
+    assert any(m.n_head > 0 for m in e8.problem.ent_meta), \
+        "head splitting did not trigger"
+    r8 = e8.run(num_sweeps=3)
+    U8 = e8.factors_original_order(r8["state"][0])
+    for ei in range(2):
+        np.testing.assert_allclose(
+            U8[ei], np.asarray(r1["state"]["ent"][ei]["U"]),
+            rtol=1e-8, atol=1e-8)
