@@ -109,9 +109,9 @@ def segsum_sorted_pallas(P_rows: jax.Array, inst: jax.Array, n: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, K, K), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_pad, K, K), dtype),
         scratch_shapes=[pltpu.VMEM((window, K, K), dtype),
                         pltpu.VMEM((window, K, K), dtype),
