@@ -504,8 +504,13 @@ class MacauEngine:
                     jax.profiler.start_trace(cfg.trace_dir)
                 state, metrics = self._sweep_jit(self.problem.arrays, state,
                                                  skey, accumulate)
-                metrics = {k: float(v) for k, v in
-                           jax.device_get(metrics).items()}
+                fetch = ((s + 1) % max(cfg.metrics_every, 1) == 0
+                         or s == total - 1 or cfg.verbose
+                         or callback is not None or log_f is not None
+                         or trace_this)
+                metrics = ({k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+                           if fetch else {})
                 if trace_this:
                     jax.profiler.stop_trace()
                 dt = time.perf_counter() - t0

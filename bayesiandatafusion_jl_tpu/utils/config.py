@@ -79,6 +79,11 @@ class MacauConfig:
     head_split_degree: Optional[int] = None
     row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
 
+    # Fetch per-sweep metrics to host every N sweeps (1 = every sweep,
+    # the reference behavior). On high-latency device links each fetch
+    # syncs the pipeline; raise this for throughput runs.
+    metrics_every: int = 1
+
     # --- aux subsystems (SURVEY §7) ---
     # jsonl structured per-sweep records (§7.5); None = off
     log_file: Optional[str] = None
