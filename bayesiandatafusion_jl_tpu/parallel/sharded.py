@@ -187,17 +187,24 @@ class ShardedProblem:
                 F = ent.F
                 rows_p = pos_of[ei][F.rows]       # permuted positions
                 owner = rows_p // meta.n_loc
-                max_nnz = _ceil_to(max(int((owner == d).sum())
-                                       for d in range(n_dev)) or 1, 8)
-                lr = np.zeros((n_dev, max_nnz), np.int32)
-                lc = np.full((n_dev, max_nnz), nf, np.int32)  # pad col = F
+                # per-device bucketed matvec layouts (ops/spmv.py), then
+                # unified/stacked like the Gramian layouts
+                from ..ops.spmv import build_bucketed_matvec
+                per_dev_mv = []
                 for d in range(n_dev):
                     sel = owner == d
-                    cnt = int(sel.sum())
-                    lr[d, :cnt] = rows_p[sel] - d * meta.n_loc
-                    lc[d, :cnt] = F.cols[sel]
+                    per_dev_mv.append(build_bucketed_matvec(
+                        (rows_p[sel] - d * meta.n_loc).astype(np.int32),
+                        F.cols[sel], (meta.n_loc, nf),
+                        widths=config.bucket_widths,
+                        row_pad=config.row_pad, dtype=dtype))
                 arrays_sh["feat"][f"e{ei}"] = {
-                    "rows": jnp.asarray(lr), "cols": jnp.asarray(lc)}
+                    key: self._stack_matvec([mv[key] for mv in per_dev_mv])
+                    for key in ("fwd", "t")}
+                arrays_sh["feat"][f"e{ei}"]["colcount"] = jnp.asarray(
+                    np.broadcast_to(
+                        np.bincount(F.cols, minlength=nf).astype(dtype),
+                        (n_dev, nf)).copy())
                 if use_ff:
                     import scipy.sparse as sp
                     X = sp.coo_matrix(
@@ -290,6 +297,33 @@ class ShardedProblem:
                         "part": [jnp.asarray(p) for p in part],
                         "val": jnp.asarray(val), "mask": jnp.asarray(mask)})
         return out, dev_inst
+
+    def _stack_matvec(self, per_dev):
+        """Unify bucket widths of per-device matvec layouts; stack axis 0."""
+        n_dev = len(per_dev)
+        widths = sorted({int(b["part"].shape[1])
+                         for mv in per_dev for b in mv})
+        out = []
+        for w in widths:
+            per = [next((b for b in mv if b["part"].shape[1] == w), None)
+                   for mv in per_dev]
+            rows = _ceil_to(max((b["part"].shape[0] if b else 0)
+                                for b in per) or self.config.row_pad,
+                            self.config.row_pad)
+            inst = np.zeros((n_dev, rows), np.int32)
+            part = np.zeros((n_dev, rows, w), np.int32)
+            mask = np.zeros((n_dev, rows, w), self.config.np_dtype())
+            for d, b in enumerate(per):
+                if b is None:
+                    continue
+                r = b["part"].shape[0]
+                inst[d, :r] = np.asarray(b["inst"])
+                part[d, :r] = np.asarray(b["part"])
+                mask[d, :r] = np.asarray(b["mask"])
+            out.append({"inst": jnp.asarray(inst),
+                        "part": jnp.asarray(part),
+                        "mask": jnp.asarray(mask)})
+        return out
 
     def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):
         """Block-partition a tuple list across devices (sequential order)."""
@@ -719,14 +753,16 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
 
 def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
                          e1_loc_raw, e2_raw, psum):
-    """Sharded noise-injected beta draw (SURVEY §4.4): X row-sharded by
-    instance owner; X'(Xv) psum-reduced — the ParallelSBM equivalent."""
+    """Sharded noise-injected beta draw (SURVEY §4.4): the feature matrix
+    is row-sharded by instance owner as per-device BUCKETED layouts
+    (ops/spmv.py); X'(Xv) partials psum-reduce — the ParallelSBM
+    equivalent, on the fast gather+einsum path with Jacobi PCG."""
+    from ..ops.spmv import bucketed_spmm
     cfg = problem.config
     dtype = jnp.dtype(cfg.dtype)
     F = es.num_features
     n_loc = problem.ent_meta[ei].n_loc
     mu, Lambda, lam = ent["mu"], ent["Lambda"], ent["lambda_beta"]
-    rows, cols = feat["rows"], feat["cols"]   # [nnz_d], cols padded with F
 
     L = lxl.cholesky(Lambda)
 
@@ -737,8 +773,7 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
     E1 = colored(e1_loc_raw)
     E2 = colored(e2_raw)
     resid = U_loc - mu[None, :] + E1
-    Xt = jax.ops.segment_sum(resid[rows], cols, num_segments=F + 1)[:F]
-    rhs = psum(Xt) + jnp.sqrt(lam) * E2
+    rhs = psum(bucketed_spmm(feat["t"], F, resid)) + jnp.sqrt(lam) * E2
 
     if es.use_ff:
         A = ftf + lam * jnp.eye(F, dtype=dtype)
@@ -748,16 +783,13 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
                                     transpose_a=True)
     else:
         def matvec(V):
-            Vx = jnp.concatenate([V, jnp.zeros((1, V.shape[1]), V.dtype)])
-            XV = jax.ops.segment_sum(Vx[cols], rows, num_segments=n_loc)
-            Xt2 = jax.ops.segment_sum(XV[rows], cols,
-                                      num_segments=F + 1)[:F]
-            return psum(Xt2) + lam * V
+            XV = bucketed_spmm(feat["fwd"], n_loc, V)
+            return psum(bucketed_spmm(feat["t"], F, XV)) + lam * V
         tol = cfg.cg_tol if jnp.dtype(cfg.dtype) == jnp.float64 \
             else max(cfg.cg_tol, 1e-5)
         beta, _ = block_cg(matvec, rhs, ent["beta"],
-                           tol=tol, maxiter=cfg.cg_maxiter)
-
-    beta_ext = jnp.concatenate([beta, jnp.zeros((1, beta.shape[1]), dtype)])
-    uhat_loc = jax.ops.segment_sum(beta_ext[cols], rows, num_segments=n_loc)
+                           tol=tol, maxiter=cfg.cg_maxiter,
+                           precond_diag=feat["colcount"] + lam)
+        
+    uhat_loc = bucketed_spmm(feat["fwd"], n_loc, beta)
     return beta, uhat_loc
