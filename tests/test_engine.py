@@ -199,3 +199,39 @@ def test_config_yaml_roundtrip(tmp_path):
     cfg.to_yaml(p)
     cfg2 = MacauConfig.from_yaml(p)
     assert cfg2 == cfg
+
+
+def test_relation_without_test_split():
+    """macau() on a relation with no test carve-out: trains fine, result
+    has state/history but no RMSE key."""
+    rng = np.random.default_rng(14)
+    df = _lowrank_matrix(rng, 20, 15, 3)
+    rd = bdf.RelationData.from_indexed_df(df)
+    res = bdf.macau(rd, num_latent=3, burnin=3, psamples=3, verbose=False,
+                    dtype="float32")
+    assert "state" in res and "history" in res
+    assert "RMSE" not in res
+
+
+def test_metrics_every_batches_fetches():
+    rng = np.random.default_rng(15)
+    df = _lowrank_matrix(rng, 20, 15, 3)
+    rd = bdf.RelationData.from_indexed_df(df)
+    rd.assign_to_test(0, 20)
+    cfg = MacauConfig(num_latent=3, burnin=3, psamples=3, verbose=False,
+                      dtype="float32", metrics_every=3)
+    res = MacauEngine(rd, cfg).run()
+    fetched = [h for h in res["history"] if "r0.rmse_avg" in h]
+    skipped = [h for h in res["history"] if "r0.rmse_avg" not in h]
+    assert len(fetched) >= 2 and len(skipped) >= 2
+    assert np.isfinite(res["RMSE"])
+
+
+def test_nnz_one_relation_smoke():
+    """Degenerate single-observation relation must not crash or NaN."""
+    df = bdf.IndexedDF(np.array([[0, 0]]), np.array([1.5]), (3, 2))
+    rd = bdf.RelationData.from_indexed_df(df)
+    res = bdf.macau(rd, num_latent=2, burnin=2, psamples=2, verbose=False,
+                    dtype="float32")
+    U = np.asarray(res["state"]["ent"][0]["U"])
+    assert np.isfinite(U).all()
