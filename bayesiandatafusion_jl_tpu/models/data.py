@@ -93,14 +93,20 @@ FeatureMatrix = Union[SparseBinMatrix, np.ndarray, None]
 
 @dataclasses.dataclass
 class EntityModel:
-    """Mutable per-entity sampler state (reference EntityModel [MED])."""
+    """Mutable per-entity sampler state (reference EntityModel [MED]).
+
+    ``lambda_beta=None`` means "use MacauConfig.lambda_beta" — the engines
+    resolve it through :func:`resolved_lambda_beta` so the kwarg-mirroring
+    ``macau(..., lambda_beta=...)`` API actually takes effect unless the
+    user set a per-entity value explicitly.
+    """
 
     U: Optional[np.ndarray] = None          # [N, K] latent sample
     mu: Optional[np.ndarray] = None         # [K]
     Lambda: Optional[np.ndarray] = None     # [K, K]
     beta: Optional[np.ndarray] = None       # [F, K] link matrix
     uhat: Optional[np.ndarray] = None       # [N, K] = X beta
-    lambda_beta: float = 1.0
+    lambda_beta: Optional[float] = None
 
 
 class Entity:
@@ -121,7 +127,6 @@ class Entity:
                 raise ValueError("feature rows != entity count")
             self.count = F.shape[0]
         self.model = EntityModel()
-        self.lambda_beta: float = 1.0
         # None = auto (use direct X'X path iff F small; SURVEY §4.4)
         self.use_ff: Optional[bool] = None
 
@@ -140,11 +145,35 @@ class Entity:
 
 @dataclasses.dataclass
 class RelationModel:
-    """Mutable per-relation sampler state (reference RelationModel [MED])."""
+    """Mutable per-relation sampler state (reference RelationModel [MED]).
 
-    alpha: float = 5.0
-    alpha_sample: bool = False
+    ``alpha``/``alpha_sample`` default to None = "use the MacauConfig
+    value"; ``set_precision`` (the reference's ``setPrecision!``) sets
+    explicit per-relation overrides.  Resolution happens through
+    :func:`resolved_alpha` / :func:`resolved_alpha_sample`.
+    """
+
+    alpha: Optional[float] = None
+    alpha_sample: Optional[bool] = None
     mean_value: float = 0.0
+
+
+def resolved_alpha(rel: "Relation", cfg) -> float:
+    """Per-relation noise precision: model override else config value."""
+    a = rel.model.alpha
+    return float(cfg.alpha if a is None else a)
+
+
+def resolved_alpha_sample(rel: "Relation", cfg) -> bool:
+    """Whether alpha_r is Gamma-sampled: model override else config."""
+    s = rel.model.alpha_sample
+    return bool(cfg.alpha_sample if s is None else s)
+
+
+def resolved_lambda_beta(ent: "Entity", cfg) -> float:
+    """Initial link-matrix regularizer: model override else config."""
+    lb = ent.model.lambda_beta
+    return float(cfg.lambda_beta if lb is None else lb)
 
 
 class Relation:

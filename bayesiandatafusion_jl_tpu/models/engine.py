@@ -40,7 +40,8 @@ from ..ops.hyper import (normal_wishart_update, sample_alpha,
 from ..ops.mvn import chol_sample_dispatch, use_pallas_chol
 from ..utils.config import MacauConfig
 from ..utils.rng import DrawSpec, RandomSpec, draw_all, sweep_key
-from .data import RelationData
+from .data import (RelationData, resolved_alpha, resolved_alpha_sample,
+                   resolved_lambda_beta)
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +98,8 @@ class CompiledProblem:
             self.rel_specs.append(RelationSpec(
                 name=rel.name, arity=rel.arity, entity_ids=eids,
                 nnz=rel.data.nnz, n_test=len(rel.test_vals),
-                alpha_sample=rel.model.alpha_sample, mean_value=mean_value,
+                alpha_sample=resolved_alpha_sample(rel, config),
+                mean_value=mean_value,
                 class_cut=rel.class_cut))
             centered = rel.data.vals - mean_value
             for mode in range(rel.arity):
@@ -120,7 +122,7 @@ class CompiledProblem:
                 arrays["test"][f"r{ri}"] = {
                     "idx": jnp.asarray(rel.test_idx),
                     "vals": jnp.asarray(rel.test_vals, dtype)}
-            if rel.model.alpha_sample:
+            if resolved_alpha_sample(rel, config):
                 arrays["train"][f"r{ri}"] = {
                     "idx": jnp.asarray(rel.data.idx),
                     "vals": jnp.asarray(centered, dtype)}
@@ -178,10 +180,11 @@ class CompiledProblem:
                 arrays["win_plan"][f"e{ei}"] = wp
 
         self.arrays = arrays
-        # per-entity initial hyper values from the data model
-        self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
-        self.init_alpha = [r.model.alpha if r.model.alpha is not None
-                           else config.alpha for r in rd.relations]
+        # per-entity initial hyper values: model override else config
+        # (shared precedence with the oracle — resolved_* in models/data.py)
+        self.init_lambda_beta = [resolved_lambda_beta(e, config)
+                                 for e in rd.entities]
+        self.init_alpha = [resolved_alpha(r, config) for r in rd.relations]
         self.random_spec = build_random_spec(self.entity_specs,
                                              self.rel_specs, config)
 
@@ -256,9 +259,7 @@ class MacauEngine:
                 ent["beta"] = jnp.zeros((es.num_features, K), dtype)
                 ent["uhat"] = jnp.zeros((es.n, K), dtype)
                 ent["lambda_beta"] = jnp.asarray(
-                    self.problem.init_lambda_beta[ei]
-                    if self.problem.init_lambda_beta[ei] is not None
-                    else cfg.lambda_beta, dtype)
+                    self.problem.init_lambda_beta[ei], dtype)
             ents.append(ent)
         rels = [{"alpha": jnp.asarray(self.problem.init_alpha[ri], dtype)}
                 for ri in range(len(self.problem.rel_specs))]

@@ -38,7 +38,8 @@ import numpy as np
 from jax.lax import linalg as lxl
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..models.data import RelationData
+from ..models.data import (RelationData, resolved_alpha,
+                           resolved_alpha_sample, resolved_lambda_beta)
 from ..models.engine import (EntitySpec, RelationSpec, _auc,
                              build_random_spec)
 from ..ops import layout as layout_mod
@@ -127,7 +128,8 @@ class ShardedProblem:
             self.rel_specs.append(RelationSpec(
                 name=rel.name, arity=rel.arity, entity_ids=eids,
                 nnz=rel.data.nnz, n_test=len(rel.test_vals),
-                alpha_sample=rel.model.alpha_sample, mean_value=mean_value,
+                alpha_sample=resolved_alpha_sample(rel, config),
+                mean_value=mean_value,
                 class_cut=rel.class_cut))
             # remap observation indices into permuted positions
             idx_p = np.stack([pos_of[eids[d]][rel.data.idx[:, d]]
@@ -172,7 +174,7 @@ class ShardedProblem:
                     "orig_idx": rel.test_idx.copy(),
                     "vals": rel.test_vals.copy(),
                     "counts": counts}
-            if rel.model.alpha_sample:
+            if resolved_alpha_sample(rel, config):
                 arrays_sh["train"][f"r{ri}"], _ = self._shard_tuples(
                     idx_p, centered.astype(dtype), dtype)
 
@@ -257,8 +259,9 @@ class ShardedProblem:
 
         self.arrays_sh = arrays_sh
         self.arrays_rep = arrays_rep
-        self.init_lambda_beta = [e.model.lambda_beta for e in rd.entities]
-        self.init_alpha = [r.model.alpha for r in rd.relations]
+        self.init_lambda_beta = [resolved_lambda_beta(e, config)
+                                 for e in rd.entities]
+        self.init_alpha = [resolved_alpha(r, config) for r in rd.relations]
         self.random_spec = build_random_spec(self.entity_specs,
                                              self.rel_specs, config)
 

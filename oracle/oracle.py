@@ -18,7 +18,10 @@ from typing import Dict, List, Optional
 import numpy as np
 import scipy.linalg as sla
 
-from bayesiandatafusion_jl_tpu.models.data import RelationData
+from bayesiandatafusion_jl_tpu.models.data import (RelationData,
+                                                   resolved_alpha,
+                                                   resolved_alpha_sample,
+                                                   resolved_lambda_beta)
 from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
 
 
@@ -65,13 +68,13 @@ class OracleMacau:
             if e.has_features:
                 st.beta.append(np.zeros((e.num_features, K)))
                 st.uhat.append(np.zeros((e.count, K)))
-                st.lambda_beta.append(self.cfg.lambda_beta)
             else:
                 st.beta.append(None)
                 st.uhat.append(None)
-                st.lambda_beta.append(self.cfg.lambda_beta)
+            # same precedence as the engines (models/data.py resolved_*)
+            st.lambda_beta.append(resolved_lambda_beta(e, self.cfg))
         for r in self.rd.relations:
-            st.alpha.append(r.model.alpha)
+            st.alpha.append(resolved_alpha(r, self.cfg))
         return st
 
     def sweep(self, st: OracleState, randoms: Dict[str, np.ndarray]) -> None:
@@ -126,7 +129,7 @@ class OracleMacau:
             st.U[ei] = Unew
         # noise precisions (SURVEY §4.5)
         for ri, rel in enumerate(self.rd.relations):
-            if not rel.model.alpha_sample:
+            if not resolved_alpha_sample(rel, cfg):
                 continue
             idx = rel.data.idx
             Z = np.ones((rel.data.nnz, K))

@@ -227,6 +227,28 @@ def test_metrics_every_batches_fetches():
     assert np.isfinite(res["RMSE"])
 
 
+def test_config_kwargs_reach_engine():
+    """macau(alpha=, alpha_sample=, lambda_beta=) must take effect — the
+    model-level defaults are None and fall back to config (ADVICE r1)."""
+    from bayesiandatafusion_jl_tpu.models.engine import CompiledProblem
+    rng = np.random.default_rng(16)
+    feat = (rng.random((30, 6)) < 0.3).astype(np.float64)
+    df = _lowrank_matrix(rng, 30, 20, 3)
+    rd = bdf.RelationData.from_matrix(df, feat1=feat)
+    cfg = MacauConfig(num_latent=3, alpha=2.0, alpha_sample=True,
+                      lambda_beta=10.0)
+    p = CompiledProblem(rd, cfg)
+    assert p.init_alpha == [2.0]
+    assert p.rel_specs[0].alpha_sample
+    assert p.init_lambda_beta[0] == 10.0
+    assert "r0.alpha_g" in p.random_spec
+    # explicit set_precision overrides the config fallback
+    rd2 = bdf.RelationData.from_matrix(df)
+    rd2.set_precision(0, 7.0, sample=False)
+    p2 = CompiledProblem(rd2, cfg)
+    assert p2.init_alpha == [7.0] and not p2.rel_specs[0].alpha_sample
+
+
 def test_nnz_one_relation_smoke():
     """Degenerate single-observation relation must not crash or NaN."""
     df = bdf.IndexedDF(np.array([[0, 0]]), np.array([1.5]), (3, 2))
