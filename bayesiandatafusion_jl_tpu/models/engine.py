@@ -135,18 +135,17 @@ class CompiledProblem:
                 use_ff = (nf <= config.ff_threshold) if pref is None else bool(pref)
                 F = ent.F
                 from ..ops.spmv import build_bucketed_matvec
-                colcount = np.bincount(F.cols, minlength=nf).astype(dtype)
                 arrays["feat"][f"e{ei}"] = {
                     "mv": build_bucketed_matvec(
-                        F.rows, F.cols, F.shape,
+                        F.rows, F.cols, F.shape, vals=F.vals,
                         widths=config.bucket_widths,
                         row_pad=config.row_pad, dtype=dtype),
-                    "colcount": jnp.asarray(colcount)}
+                    "colcount": jnp.asarray(F.col_sq_sums().astype(dtype))}
                 if use_ff:
                     try:
                         import scipy.sparse as sp
                         X = sp.coo_matrix(
-                            (np.ones(F.nnz, dtype), (F.rows, F.cols)),
+                            (F.values().astype(dtype), (F.rows, F.cols)),
                             shape=F.shape).tocsr()
                         ftf = np.asarray((X.T @ X).todense(), dtype)
                     except ImportError:  # pragma: no cover

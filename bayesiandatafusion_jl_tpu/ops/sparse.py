@@ -26,70 +26,110 @@ import numpy as np
 
 @dataclasses.dataclass
 class SparseBinMatrix:
-    """Binary sparse matrix in COO form (host-side, NumPy int32).
+    """Sparse feature matrix in COO form (host-side, NumPy int32).
 
     ``rows``/``cols`` are 0-based int32, sorted lexicographically by
-    (row, col).  Values are implicitly 1.
+    (row, col).  ``vals=None`` means all-ones (the reference's binary
+    ``SparseBinMatrix`` — ECFP fingerprints); a float array gives a
+    real-valued sparse matrix (the reference's ``entity.F`` accepts any
+    SparseMatrixCSC — SURVEY §3 Entity row, §4.4).
     """
 
     rows: np.ndarray  # [nnz] int32
     cols: np.ndarray  # [nnz] int32
     shape: Tuple[int, int]
+    vals: Optional[np.ndarray] = None  # [nnz] float64, or None = binary
 
     def __post_init__(self):
         self.rows = np.asarray(self.rows, np.int32)
         self.cols = np.asarray(self.cols, np.int32)
+        if self.vals is not None:
+            self.vals = np.asarray(self.vals, np.float64).ravel()
+            if self.vals.shape[0] != self.rows.shape[0]:
+                raise ValueError("vals length != nnz")
         order = np.lexsort((self.cols, self.rows))
         if not np.all(order == np.arange(len(order))):
             self.rows = self.rows[order]
             self.cols = self.cols[order]
+            if self.vals is not None:
+                self.vals = self.vals[order]
 
     @property
     def nnz(self) -> int:
         return int(self.rows.shape[0])
 
+    @property
+    def is_binary(self) -> bool:
+        return self.vals is None
+
+    def values(self) -> np.ndarray:
+        """Explicit value array (ones when binary)."""
+        return (np.ones(self.nnz, np.float64) if self.vals is None
+                else self.vals)
+
     @classmethod
     def from_scipy(cls, m) -> "SparseBinMatrix":
         coo = m.tocoo()
+        data = np.asarray(coo.data, np.float64)
+        vals = None if np.all(data == 1.0) else data
         return cls(coo.row.astype(np.int32), coo.col.astype(np.int32),
-                   (int(coo.shape[0]), int(coo.shape[1])))
+                   (int(coo.shape[0]), int(coo.shape[1])), vals)
 
     @classmethod
     def from_dense(cls, m: np.ndarray) -> "SparseBinMatrix":
-        r, c = np.nonzero(np.asarray(m))
-        return cls(r.astype(np.int32), c.astype(np.int32), tuple(m.shape))
+        m = np.asarray(m)
+        r, c = np.nonzero(m)
+        data = np.asarray(m[r, c], np.float64)
+        vals = None if np.all(data == 1.0) else data
+        return cls(r.astype(np.int32), c.astype(np.int32), tuple(m.shape),
+                   vals)
 
     def to_dense(self) -> np.ndarray:
         d = np.zeros(self.shape, np.float64)
-        d[self.rows, self.cols] = 1.0
+        d[self.rows, self.cols] = self.values()
         return d
 
     # -- host-side (NumPy) products, mirroring A_mul_B!/At_mul_B! ------------
     def matmul(self, v: np.ndarray) -> np.ndarray:
         """X @ v  (v: [F] or [F, K])."""
         out = np.zeros((self.shape[0],) + v.shape[1:], v.dtype)
-        np.add.at(out, self.rows, v[self.cols])
+        vc = v[self.cols]
+        if self.vals is not None:
+            vc = vc * self.vals.reshape((-1,) + (1,) * (v.ndim - 1))
+        np.add.at(out, self.rows, vc)
         return out
 
     def t_matmul(self, v: np.ndarray) -> np.ndarray:
         """X.T @ v  (v: [N] or [N, K])."""
         out = np.zeros((self.shape[1],) + v.shape[1:], v.dtype)
-        np.add.at(out, self.cols, v[self.rows])
+        vr = v[self.rows]
+        if self.vals is not None:
+            vr = vr * self.vals.reshape((-1,) + (1,) * (v.ndim - 1))
+        np.add.at(out, self.cols, vr)
         return out
 
     def gram(self) -> np.ndarray:
         """Dense X'X (the ``use_FF`` precompute; feasible for small F)."""
         F = self.shape[1]
         g = np.zeros((F, F), np.float64)
+        vals = self.values()
         # group by row; accumulate outer products of each row's support
         order = np.argsort(self.rows, kind="stable")
-        rows, cols = self.rows[order], self.cols[order]
+        rows, cols, v = self.rows[order], self.cols[order], vals[order]
         starts = np.searchsorted(rows, np.arange(self.shape[0]))
         ends = np.searchsorted(rows, np.arange(self.shape[0]) + 1)
         for s, e in zip(starts, ends):
             idx = cols[s:e]
-            g[np.ix_(idx, idx)] += 1.0
+            g[np.ix_(idx, idx)] += np.outer(v[s:e], v[s:e])
         return g
+
+    def col_sq_sums(self) -> np.ndarray:
+        """diag(X'X) = per-column sum of squared values (Jacobi precond)."""
+        if self.vals is None:
+            return np.bincount(self.cols, minlength=self.shape[1]).astype(
+                np.float64)
+        return np.bincount(self.cols, weights=self.vals ** 2,
+                           minlength=self.shape[1])
 
 
 # ---------------------------------------------------------------------------

@@ -189,6 +189,7 @@ class ShardedProblem:
                 F = ent.F
                 rows_p = pos_of[ei][F.rows]       # permuted positions
                 owner = rows_p // meta.n_loc
+                fvals = F.values()
                 # per-device bucketed matvec layouts (ops/spmv.py), then
                 # unified/stacked like the Gramian layouts
                 from ..ops.spmv import build_bucketed_matvec
@@ -198,19 +199,19 @@ class ShardedProblem:
                     per_dev_mv.append(build_bucketed_matvec(
                         (rows_p[sel] - d * meta.n_loc).astype(np.int32),
                         F.cols[sel], (meta.n_loc, nf),
+                        vals=(None if F.is_binary else fvals[sel]),
                         widths=config.bucket_widths,
                         row_pad=config.row_pad, dtype=dtype))
                 arrays_sh["feat"][f"e{ei}"] = {
                     key: self._stack_matvec([mv[key] for mv in per_dev_mv])
                     for key in ("fwd", "t")}
                 arrays_sh["feat"][f"e{ei}"]["colcount"] = jnp.asarray(
-                    np.broadcast_to(
-                        np.bincount(F.cols, minlength=nf).astype(dtype),
-                        (n_dev, nf)).copy())
+                    np.broadcast_to(F.col_sq_sums().astype(dtype),
+                                    (n_dev, nf)).copy())
                 if use_ff:
                     import scipy.sparse as sp
                     X = sp.coo_matrix(
-                        (np.ones(F.nnz, dtype), (F.rows, F.cols)),
+                        (fvals.astype(dtype), (F.rows, F.cols)),
                         shape=F.shape).tocsr()
                     arrays_rep["ftf"][f"e{ei}"] = jnp.asarray(
                         np.asarray((X.T @ X).todense(), dtype))
@@ -315,17 +316,17 @@ class ShardedProblem:
                             self.config.row_pad)
             inst = np.zeros((n_dev, rows), np.int32)
             part = np.zeros((n_dev, rows, w), np.int32)
-            mask = np.zeros((n_dev, rows, w), self.config.np_dtype())
+            wv = np.zeros((n_dev, rows, w), self.config.np_dtype())
             for d, b in enumerate(per):
                 if b is None:
                     continue
                 r = b["part"].shape[0]
                 inst[d, :r] = np.asarray(b["inst"])
                 part[d, :r] = np.asarray(b["part"])
-                mask[d, :r] = np.asarray(b["mask"])
+                wv[d, :r] = np.asarray(b["w"])
             out.append({"inst": jnp.asarray(inst),
                         "part": jnp.asarray(part),
-                        "mask": jnp.asarray(mask)})
+                        "w": jnp.asarray(wv)})
         return out
 
     def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):

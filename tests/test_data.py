@@ -94,6 +94,44 @@ def test_sparse_bin_matrix_products():
     np.testing.assert_allclose(m.to_dense(), dense)
 
 
+def test_sparse_matrix_real_values():
+    """Value-carrying sparse feature matrix: products/gram/dense match the
+    real-valued dense reference (round-1 gap: values were discarded)."""
+    rng = np.random.default_rng(8)
+    dense = rng.standard_normal((13, 9)) * (rng.random((13, 9)) < 0.35)
+    m = SparseBinMatrix.from_dense(dense)
+    assert not m.is_binary
+    v = rng.standard_normal((9, 4))
+    u = rng.standard_normal((13, 4))
+    np.testing.assert_allclose(m.matmul(v), dense @ v)
+    np.testing.assert_allclose(m.t_matmul(u), dense.T @ u)
+    np.testing.assert_allclose(m.gram(), dense.T @ dense)
+    np.testing.assert_allclose(m.to_dense(), dense)
+    np.testing.assert_allclose(m.col_sq_sums(), (dense ** 2).sum(axis=0))
+    # binary input still reports binary (fast path preserved)
+    mb = SparseBinMatrix.from_dense((dense != 0).astype(np.float64))
+    assert mb.is_binary
+
+
+def test_bucketed_matvec_real_values():
+    import jax.numpy as jnp
+    from bayesiandatafusion_jl_tpu.ops.spmv import (build_bucketed_matvec,
+                                                    bucketed_spmm)
+    rng = np.random.default_rng(9)
+    dense = rng.standard_normal((15, 11)) * (rng.random((15, 11)) < 0.4)
+    m = SparseBinMatrix.from_dense(dense)
+    mv = build_bucketed_matvec(m.rows, m.cols, m.shape, vals=m.vals,
+                               widths=(2, 4, 8), dtype=np.float64)
+    v = rng.standard_normal((11, 3))
+    u = rng.standard_normal((15, 3))
+    np.testing.assert_allclose(
+        np.asarray(bucketed_spmm(mv["fwd"], 15, jnp.asarray(v))),
+        dense @ v, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(bucketed_spmm(mv["t"], 11, jnp.asarray(u))),
+        dense.T @ u, rtol=1e-12)
+
+
 def test_sparse_device_ops():
     import jax.numpy as jnp
     from bayesiandatafusion_jl_tpu.ops.sparse import spmm, spmm_t

@@ -110,6 +110,30 @@ def test_macau_cg_equivalence():
     _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-6, check_beta=True)
 
 
+def test_macau_realvalued_features_ff_equivalence():
+    """Real-valued (non-binary) side information — standardized features —
+    must flow through the FF path unmodified (round-1 gap: features were
+    silently binarized; SURVEY §3 Entity row, §4.4)."""
+    rng = np.random.default_rng(8)
+    feat = rng.standard_normal((22, 13)) * (rng.random((22, 13)) < 0.4)
+    rd = _matrix_rd(rng, feat1=feat)
+    assert not rd.entities[0].F.is_binary
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      use_ff=True, seed=24)
+    _run_equiv(rd, cfg, n_sweeps=3, check_beta=True)
+
+
+def test_macau_realvalued_features_cg_equivalence():
+    """Real-valued side info through the blocked-CG path (weighted matvec
+    + squared-value Jacobi preconditioner)."""
+    rng = np.random.default_rng(9)
+    feat = rng.standard_normal((22, 13)) * (rng.random((22, 13)) < 0.4)
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      use_ff=False, cg_tol=1e-12, seed=25)
+    _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-6, check_beta=True)
+
+
 def test_tensor_equivalence():
     rng = np.random.default_rng(3)
     shape = (9, 8, 5)

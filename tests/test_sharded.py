@@ -86,6 +86,22 @@ def test_sharded_matches_single_macau_cg():
     _compare_engines(build, cfg, n_sweeps=3, rtol=1e-6)
 
 
+def test_sharded_matches_single_macau_cg_realvalued():
+    """Real-valued side info: sharded weighted matvec + psum CG must match
+    the single-device engine."""
+    rng = np.random.default_rng(17)
+    feat = rng.standard_normal((41, 23)) * (rng.random((41, 23)) < 0.3)
+    df = _lowrank(rng, 41, 29)
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 40, seed=3)
+        return rd
+    assert not build().entities[0].F.is_binary
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", use_ff=False, cg_tol=1e-12, seed=7)
+    _compare_engines(build, cfg, n_sweeps=3, rtol=1e-6)
+
+
 def test_sharded_matches_single_tensor_multirel_alpha():
     rng = np.random.default_rng(3)
     shape = (19, 13, 5)
