@@ -298,7 +298,11 @@ class MacauEngine:
             if es.has_features:
                 # β draw first, with current Λ (SURVEY §4.6 order)
                 with jax.named_scope(f"beta_e{ei}"):
-                    ent = self._sample_beta(arrays, ent, es, ei, randoms)
+                    ent, cg_diag = self._sample_beta(arrays, ent, es, ei,
+                                                     randoms)
+                if cg_diag is not None:
+                    metrics[f"e{ei}.cg_iters"] = cg_diag[0]
+                    metrics[f"e{ei}.cg_resid"] = cg_diag[1]
                 if cfg.sample_lambda_beta:
                     ent["lambda_beta"] = sample_lambda_beta(
                         ent["beta"], Lambda, randoms[f"e{ei}.lb_g"],
@@ -329,7 +333,7 @@ class MacauEngine:
                         contribs.append((rels[ri]["alpha"], partners, ba))
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
             fuse = use_pallas_chol(cfg)
-            if cfg.accumulation == "window":
+            if cfg.accumulation == "window" and contribs:
                 # Pallas windowed one-hot reduction for the P side
                 # (ops/pallas_segsum.py); b side via segment_sum
                 from ..ops.gramian import bucket_gramian
@@ -412,18 +416,10 @@ class MacauEngine:
                 jnp.mean((pmean - te["vals"]) ** 2))
             if rs.class_cut is not None:
                 # per-sweep AUC of the running posterior mean (reference
-                # verbose field, SURVEY §4.6) — rank statistic on device
+                # verbose field, SURVEY §4.6) — midrank statistic on
+                # device, tie handling identical to the host _auc
                 labels = (te["vals"] < rs.class_cut).astype(dtype)
-                scores = -pmean
-                order = jnp.argsort(scores)
-                ranks = jnp.zeros_like(scores).at[order].set(
-                    jnp.arange(1, scores.shape[0] + 1, dtype=dtype))
-                n_pos = jnp.sum(labels)
-                n_neg = labels.shape[0] - n_pos
-                r_pos = jnp.sum(ranks * labels)
-                metrics[f"{pk}.auc"] = (
-                    (r_pos - n_pos * (n_pos + 1) / 2.0)
-                    / jnp.maximum(n_pos * n_neg, 1.0))
+                metrics[f"{pk}.auc"] = auc_device(labels, -pmean)
 
         new_state = {"ent": ents, "rel": rels, "pred": preds}
         return new_state, metrics
@@ -450,6 +446,7 @@ class MacauEngine:
         Xt_resid = bucketed_spmm(mv["t"], F, resid)
         rhs = Xt_resid + jnp.sqrt(lam) * E2
 
+        cg_diag = None
         if es.use_ff:
             A = arrays["ftf"][f"e{ei}"] + lam * jnp.eye(F, dtype=dtype)
             Lf = lxl.cholesky(A)
@@ -460,19 +457,21 @@ class MacauEngine:
             def matvec(V):
                 XV = bucketed_spmm(mv["fwd"], N, V)
                 return bucketed_spmm(mv["t"], F, XV) + lam * V
-            # Jacobi preconditioner: diag(X'X + lam I) = col counts + lam.
+            # Jacobi preconditioner: diag(X'X + lam I) = sq col sums + lam.
             # f32's recursive residual stalls around ~1e-5 relative, so
-            # floor the tolerance there to avoid burning maxiter.
+            # floor the tolerance there to avoid burning maxiter; the
+            # reported cg_resid is the exit-time TRUE residual.
             tol = cfg.cg_tol if self.dtype == jnp.float64 \
                 else max(cfg.cg_tol, 1e-5)
-            beta, _ = block_cg(matvec, rhs, ent["beta"],
-                               tol=tol, maxiter=cfg.cg_maxiter,
-                               precond_diag=feat["colcount"] + lam)
+            beta, it, resid = block_cg(matvec, rhs, ent["beta"],
+                                       tol=tol, maxiter=cfg.cg_maxiter,
+                                       precond_diag=feat["colcount"] + lam)
+            cg_diag = (it, resid)
 
         uhat = bucketed_spmm(mv["fwd"], N, beta)
         out = dict(ent)
         out["beta"], out["uhat"] = beta, uhat
-        return out
+        return out, cg_diag
 
     # -- driver loop ---------------------------------------------------------
     def run(self, state: Optional[Dict[str, Any]] = None,
@@ -634,6 +633,25 @@ def predictions_frame(result: Dict[str, Any], relation=None):
     d = {f"idx{d_}": p["idx"][:, d_] for d_ in range(p["idx"].shape[1])}
     d.update(obs=p["obs"], pred=p["pred"], stdev=p["stdev"])
     return pd.DataFrame(d)
+
+
+def auc_device(labels: jax.Array, scores: jax.Array) -> jax.Array:
+    """Binary AUC via the midrank statistic, jit-safe on device.
+
+    Uses midranks for tied scores (rank_min/rank_max via two-sided
+    searchsorted) so it agrees with the host :func:`_auc` on ties —
+    class_cut workloads routinely produce tied predictions.
+    """
+    dtype = scores.dtype
+    s_sorted = jnp.sort(scores)
+    left = jnp.searchsorted(s_sorted, scores, side="left")
+    right = jnp.searchsorted(s_sorted, scores, side="right")
+    ranks = 0.5 * (left + right + 1).astype(dtype)   # 1-based midranks
+    n_pos = jnp.sum(labels)
+    n_neg = labels.shape[0] - n_pos
+    r_pos = jnp.sum(ranks * labels)
+    return ((r_pos - n_pos * (n_pos + 1) / 2.0)
+            / jnp.maximum(n_pos * n_neg, 1.0))
 
 
 def _auc(labels: np.ndarray, scores: np.ndarray) -> float:

@@ -357,6 +357,10 @@ class ShardedMacauEngine:
 
     def __init__(self, rd: RelationData, config: MacauConfig,
                  mesh: Optional[Mesh] = None):
+        if config.accumulation == "window":
+            raise ValueError(
+                "accumulation='window' is not supported by the sharded "
+                "engine; use 'segment' or 'planned'")
         self.rd = rd
         self.config = config
         self.mesh = mesh if mesh is not None else data_mesh()
@@ -624,12 +628,15 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         uhat_loc = uhat_sh.get(f"e{ei}")
 
         if es.has_features:
-            beta, uhat_loc = _sample_beta_sharded(
+            beta, uhat_loc, cg_diag = _sample_beta_sharded(
                 problem, ei, es, feats[f"e{ei}"],
                 arrays_rep["ftf"].get(f"e{ei}"), ent, U_loc,
                 rnd_sh[f"e{ei}.beta_e1"], rnd_rep[f"e{ei}.beta_e2"], psum)
             ent["beta"] = beta
             uhat_sh[f"e{ei}"] = uhat_loc
+            if cg_diag is not None:
+                metrics[f"e{ei}.cg_iters"] = cg_diag[0]
+                metrics[f"e{ei}.cg_resid"] = cg_diag[1]
             if cfg.sample_lambda_beta:
                 ent["lambda_beta"] = sample_lambda_beta(
                     beta, Lambda, rnd_rep[f"e{ei}.lb_g"],
@@ -781,6 +788,7 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
     F = es.num_features
     n_loc = problem.ent_meta[ei].n_loc
     mu, Lambda, lam = ent["mu"], ent["Lambda"], ent["lambda_beta"]
+    cg_diag = None
 
     L = lxl.cholesky(Lambda)
 
@@ -805,9 +813,10 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
             return psum(bucketed_spmm(feat["t"], F, XV)) + lam * V
         tol = cfg.cg_tol if jnp.dtype(cfg.dtype) == jnp.float64 \
             else max(cfg.cg_tol, 1e-5)
-        beta, _ = block_cg(matvec, rhs, ent["beta"],
-                           tol=tol, maxiter=cfg.cg_maxiter,
-                           precond_diag=feat["colcount"] + lam)
-        
+        beta, it, resid = block_cg(matvec, rhs, ent["beta"],
+                                   tol=tol, maxiter=cfg.cg_maxiter,
+                                   precond_diag=feat["colcount"] + lam)
+        cg_diag = (it, resid)
+
     uhat_loc = bucketed_spmm(feat["fwd"], n_loc, beta)
-    return beta, uhat_loc
+    return beta, uhat_loc, cg_diag

@@ -52,7 +52,9 @@ class MacauConfig:
     # --- numerics ---
     dtype: str = "float32"      # compute dtype ("float64" for CPU oracle-equivalence)
     chol_jitter: float = 0.0    # added to diag of per-row precision before Cholesky
-    # Pallas kernels: "auto" = on TPU for f32 and K<=64; "on"/"off" force
+    # Pallas kernels: "auto" = on TPU for f32 and K<=32 (the unrolled
+    # fused Cholesky sampler's compile limit; ops/mvn.py use_pallas_chol);
+    # "on"/"off" force
     pallas: str = "auto"
     # Gramian gather/contraction dtype: None = compute dtype; "bfloat16"
     # halves gather HBM traffic (accumulation stays f32)
@@ -96,6 +98,16 @@ class MacauConfig:
     # write {checkpoint_path}; 0 = off.  Resume via MacauEngine.load_state.
     checkpoint_every: int = 0
     checkpoint_path: Optional[str] = None
+
+    def __post_init__(self):
+        if self.accumulation not in ("segment", "planned", "window"):
+            raise ValueError(f"unknown accumulation {self.accumulation!r}")
+        if self.accumulation == "window" and self.gram_dtype != "bfloat16":
+            # the windowed one-hot kernel contracts in bf16; without
+            # bf16 Gramian inputs it would silently degrade f32 P rows
+            raise ValueError(
+                "accumulation='window' requires gram_dtype='bfloat16' "
+                "(the one-hot reduction contracts in bfloat16)")
 
     def np_dtype(self):
         return np.dtype(self.dtype)

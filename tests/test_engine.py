@@ -176,6 +176,76 @@ def test_auc_helper():
     assert _auc(labels, np.ones(4)) == 0.5
 
 
+def test_auc_device_matches_host_on_ties():
+    """Device AUC must use midranks so tied predictions (class_cut
+    workloads) score identically to the host _auc."""
+    from bayesiandatafusion_jl_tpu.models.engine import auc_device
+    import jax.numpy as jnp
+    rng = np.random.default_rng(8)
+    labels = rng.random(200) < 0.4
+    # heavily tied scores: quantized to 5 levels
+    scores = np.round(rng.random(200) * 4) / 4.0
+    want = _auc(labels, scores)
+    got = float(auc_device(jnp.asarray(labels, jnp.float64),
+                           jnp.asarray(scores)))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # and on the untied case too
+    scores2 = rng.standard_normal(200)
+    np.testing.assert_allclose(
+        float(auc_device(jnp.asarray(labels, jnp.float64),
+                         jnp.asarray(scores2))),
+        _auc(labels, scores2), rtol=1e-12)
+
+
+def test_predictions_frame_roundtrip():
+    from bayesiandatafusion_jl_tpu.models.engine import predictions_frame
+    rng = np.random.default_rng(9)
+    df = _lowrank_matrix(rng, 30, 20, 3)
+    rd = bdf.RelationData.from_indexed_df(df)
+    rd.assign_to_test(0, 50)
+    res = bdf.macau(rd, num_latent=3, burnin=5, psamples=5, verbose=False,
+                    dtype="float32")
+    frame = predictions_frame(res)
+    assert list(frame.columns) == ["idx0", "idx1", "obs", "pred", "stdev"]
+    assert len(frame) == 50
+    np.testing.assert_allclose(frame["pred"].to_numpy(),
+                               res["predictions"]["pred"])
+    # named-relation selection
+    frame2 = predictions_frame(res, relation="rel")
+    np.testing.assert_array_equal(frame2.to_numpy(), frame.to_numpy())
+
+
+def test_predict_out_of_matrix(tmp_path):
+    """Reference README flagship reuse workflow (SURVEY §7.4): score NEW
+    compounds from saved posterior samples via beta/mu."""
+    from bayesiandatafusion_jl_tpu.models.engine import predict_out_of_matrix
+    rng = np.random.default_rng(10)
+    n1, n2, k, f = 60, 30, 3, 12
+    feat_all = (rng.random((n1 + 10, f)) < 0.4).astype(np.float64)
+    W = rng.standard_normal((f, k))
+    U_all = feat_all @ W          # latent fully driven by side info
+    V = rng.standard_normal((n2, k))
+    R_train = U_all[:n1] @ V.T + 0.05 * rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.7
+    df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R_train[mask],
+                       (n1, n2))
+    rd = bdf.RelationData.from_matrix(df, feat1=feat_all[:n1])
+    rd.assign_to_test(0, 100, seed=1)
+    prefix = str(tmp_path / "oom")
+    mean_r = float(rd.relations[0].data.vals.mean())
+    res = bdf.macau(rd, num_latent=k, burnin=30, psamples=10, verbose=False,
+                    dtype="float64", use_ff=True, seed=3,
+                    output_prefix=prefix)
+    x_new = feat_all[n1:]
+    preds = predict_out_of_matrix(prefix, x_new, relation_mean=mean_r)
+    assert preds.shape == (10, n2)
+    truth = U_all[n1:] @ V.T
+    resid = preds - truth
+    # out-of-matrix predictions must track the side-info-driven truth
+    assert np.sqrt(np.mean(resid ** 2)) < 0.5 * truth.std(), \
+        (np.sqrt(np.mean(resid ** 2)), truth.std())
+
+
 def test_bf16_gramian_close_to_f32():
     """gram_dtype=bfloat16 must not meaningfully change results (it only
     affects the Gramian contraction inputs; accumulation stays f32)."""
