@@ -223,10 +223,108 @@ def build_random_spec(entity_specs, rel_specs, cfg: MacauConfig) -> RandomSpec:
 
 
 # ---------------------------------------------------------------------------
+# Shared driver loop (used by MacauEngine and ShardedMacauEngine so the
+# aux subsystems — metrics batching, jsonl log, posterior dumps,
+# checkpointing, tracing, verbose — behave identically; SURVEY §7)
+# ---------------------------------------------------------------------------
+
+class GibbsDriverMixin:
+    """run() loop over `_do_sweep`; subclasses provide `_do_sweep`,
+    `_results`, `_save_sample`, `save_state`, `init_state`."""
+
+    def run(self, state=None, key: Optional[jax.Array] = None,
+            num_sweeps: Optional[int] = None,
+            sweep_offset: int = 0,
+            callback=None) -> Dict[str, Any]:
+        """Run burnin + psamples sweeps; returns the reference-style results.
+
+        ``callback(sweep, phase, metrics, dt)`` is invoked per sweep.
+        Metric fetches sync the device pipeline; they are gated by
+        ``config.metrics_every`` unless verbose/log/callback forces them.
+        """
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        if state is None:
+            state = self.init_state(jax.random.fold_in(key, 0))
+        total = (cfg.burnin + cfg.psamples if num_sweeps is None
+                 else num_sweeps)
+        history = []
+        log_f = open(cfg.log_file, "a") if cfg.log_file else None
+        try:
+            for s in range(sweep_offset, total):
+                t0 = time.perf_counter()
+                skey = sweep_key(key, s + 1)
+                accumulate = 1.0 if s >= cfg.burnin else 0.0
+                trace_this = (cfg.trace_dir is not None
+                              and s == min(2, total - 1))
+                if trace_this:
+                    jax.profiler.start_trace(cfg.trace_dir)
+                state, metrics = self._do_sweep(state, skey, accumulate)
+                fetch = ((s + 1) % max(cfg.metrics_every, 1) == 0
+                         or s == total - 1 or cfg.verbose
+                         or callback is not None or log_f is not None
+                         or trace_this)
+                metrics = ({k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+                           if fetch else {})
+                if trace_this:
+                    jax.profiler.stop_trace()
+                dt = time.perf_counter() - t0
+                phase = "burnin" if s < cfg.burnin else "sample"
+                metrics["time"] = dt
+                history.append(metrics)
+                if log_f is not None:
+                    import json
+                    log_f.write(json.dumps(
+                        {"sweep": s + 1, "phase": phase, **metrics}) + "\n")
+                    log_f.flush()
+                if cfg.output_prefix is not None and s >= cfg.burnin:
+                    self._save_sample(cfg.output_prefix, s - cfg.burnin,
+                                      state)
+                if (cfg.checkpoint_every and cfg.checkpoint_path
+                        and (s + 1) % cfg.checkpoint_every == 0):
+                    self.save_state(cfg.checkpoint_path, state, s + 1)
+                if callback is not None:
+                    callback(s, phase, metrics, dt)
+                if cfg.verbose:
+                    self._print_sweep(s, phase, metrics)
+        finally:
+            if log_f is not None:
+                log_f.close()
+        return self._results(state, history)
+
+    def _print_sweep(self, s, phase, metrics):
+        """Reference-style verbose line (SURVEY §4.6): sweep, phase,
+        RMSE avg/sample, AUC, |U|, |beta|, alpha, lambda_beta, time."""
+        parts = [f"sweep {s + 1:4d} [{phase:6s}]"]
+        for ri, rs in enumerate(self.problem.rel_specs):
+            k = f"r{ri}.rmse_avg"
+            if k in metrics:
+                line = (f"{rs.name}: RMSE={metrics[k]:.4f} "
+                        f"(sample {metrics[f'r{ri}.rmse_sample']:.4f})")
+                if f"r{ri}.auc" in metrics:
+                    line += f" AUC={metrics[f'r{ri}.auc']:.4f}"
+                parts.append(line)
+            if f"r{ri}.alpha" in metrics:
+                parts.append(f"a{ri}={metrics[f'r{ri}.alpha']:.2f}")
+        for ei in range(len(self.problem.entity_specs)):
+            if f"e{ei}.unorm" in metrics:
+                parts.append(f"|U{ei}|={metrics[f'e{ei}.unorm']:.1f}")
+            if f"e{ei}.betanorm" in metrics:
+                parts.append(f"|b{ei}|={metrics[f'e{ei}.betanorm']:.2f}"
+                             f" lb={metrics[f'e{ei}.lambda_beta']:.3f}")
+            if f"e{ei}.cg_iters" in metrics:
+                parts.append(f"cg{ei}={metrics[f'e{ei}.cg_iters']:.0f}")
+        parts.append(f"{metrics['time']:.3f}s")
+        print("  ".join(parts), flush=True)
+
+
+# ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
 
-class MacauEngine:
+class MacauEngine(GibbsDriverMixin):
     """Compiled Gibbs engine for one RelationData graph."""
 
     def __init__(self, rd: RelationData, config: MacauConfig):
@@ -473,68 +571,9 @@ class MacauEngine:
         out["beta"], out["uhat"] = beta, uhat
         return out, cg_diag
 
-    # -- driver loop ---------------------------------------------------------
-    def run(self, state: Optional[Dict[str, Any]] = None,
-            key: Optional[jax.Array] = None,
-            num_sweeps: Optional[int] = None,
-            sweep_offset: int = 0,
-            callback=None) -> Dict[str, Any]:
-        """Run burnin + psamples sweeps; returns the reference-style results.
-
-        ``callback(sweep, phase, metrics, dt)`` is invoked per sweep.
-        """
-        cfg = self.config
-        if key is None:
-            key = jax.random.key(cfg.seed)
-        if state is None:
-            state = self.init_state(jax.random.fold_in(key, 0))
-        total = (cfg.burnin + cfg.psamples if num_sweeps is None
-                 else num_sweeps)
-        history = []
-        log_f = open(cfg.log_file, "a") if cfg.log_file else None
-        try:
-            for s in range(sweep_offset, total):
-                t0 = time.perf_counter()
-                skey = sweep_key(key, s + 1)
-                accumulate = 1.0 if s >= cfg.burnin else 0.0
-                trace_this = (cfg.trace_dir is not None
-                              and s == min(2, total - 1))
-                if trace_this:
-                    jax.profiler.start_trace(cfg.trace_dir)
-                state, metrics = self._sweep_jit(self.problem.arrays, state,
-                                                 skey, accumulate)
-                fetch = ((s + 1) % max(cfg.metrics_every, 1) == 0
-                         or s == total - 1 or cfg.verbose
-                         or callback is not None or log_f is not None
-                         or trace_this)
-                metrics = ({k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-                           if fetch else {})
-                if trace_this:
-                    jax.profiler.stop_trace()
-                dt = time.perf_counter() - t0
-                phase = "burnin" if s < cfg.burnin else "sample"
-                metrics["time"] = dt
-                history.append(metrics)
-                if log_f is not None:
-                    import json
-                    log_f.write(json.dumps(
-                        {"sweep": s + 1, "phase": phase, **metrics}) + "\n")
-                    log_f.flush()
-                if cfg.output_prefix is not None and s >= cfg.burnin:
-                    self._save_sample(cfg.output_prefix, s - cfg.burnin,
-                                      state)
-                if (cfg.checkpoint_every and cfg.checkpoint_path
-                        and (s + 1) % cfg.checkpoint_every == 0):
-                    self.save_state(cfg.checkpoint_path, state, s + 1)
-                if callback is not None:
-                    callback(s, phase, metrics, dt)
-                if cfg.verbose:
-                    self._print_sweep(s, phase, metrics, state)
-        finally:
-            if log_f is not None:
-                log_f.close()
-        return self._results(state, history)
+    # -- driver hooks (GibbsDriverMixin) -------------------------------------
+    def _do_sweep(self, state, skey, accumulate):
+        return self._sweep_jit(self.problem.arrays, state, skey, accumulate)
 
     def _save_sample(self, prefix: str, psample_idx: int, state) -> None:
         """Dump one posterior sample (U/mu/Lambda/beta/lambda_beta/alpha)
@@ -548,29 +587,6 @@ class MacauEngine:
         for ri, rel in enumerate(st["rel"]):
             out[f"r{ri}.alpha"] = rel["alpha"]
         np.savez(f"{prefix}-sample{psample_idx:04d}.npz", **out)
-
-    def _print_sweep(self, s, phase, metrics, state):
-        """Reference-style verbose line (SURVEY §4.6): sweep, phase,
-        RMSE avg/sample, AUC, |U|, |beta|, alpha, lambda_beta, time."""
-        parts = [f"sweep {s + 1:4d} [{phase:6s}]"]
-        for ri, rs in enumerate(self.problem.rel_specs):
-            k = f"r{ri}.rmse_avg"
-            if k in metrics:
-                line = (f"{rs.name}: RMSE={metrics[k]:.4f} "
-                        f"(sample {metrics[f'r{ri}.rmse_sample']:.4f})")
-                if f"r{ri}.auc" in metrics:
-                    line += f" AUC={metrics[f'r{ri}.auc']:.4f}"
-                parts.append(line)
-            if f"r{ri}.alpha" in metrics:
-                parts.append(f"a{ri}={metrics[f'r{ri}.alpha']:.2f}")
-        for ei in range(len(self.problem.entity_specs)):
-            if f"e{ei}.unorm" in metrics:
-                parts.append(f"|U{ei}|={metrics[f'e{ei}.unorm']:.1f}")
-            if f"e{ei}.betanorm" in metrics:
-                parts.append(f"|b{ei}|={metrics[f'e{ei}.betanorm']:.2f}"
-                             f" lb={metrics[f'e{ei}.lambda_beta']:.3f}")
-        parts.append(f"{metrics['time']:.3f}s")
-        print("  ".join(parts), flush=True)
 
     def _results(self, state, history) -> Dict[str, Any]:
         """Reference-style result dict (SURVEY §4.6 return contract)."""
@@ -635,21 +651,31 @@ def predictions_frame(result: Dict[str, Any], relation=None):
     return pd.DataFrame(d)
 
 
-def auc_device(labels: jax.Array, scores: jax.Array) -> jax.Array:
+def auc_device(labels: jax.Array, scores: jax.Array,
+               weights: Optional[jax.Array] = None) -> jax.Array:
     """Binary AUC via the midrank statistic, jit-safe on device.
 
     Uses midranks for tied scores (rank_min/rank_max via two-sided
     searchsorted) so it agrees with the host :func:`_auc` on ties —
     class_cut workloads routinely produce tied predictions.
+
+    ``weights`` (0/1) excludes padding entries: padded rows must carry
+    scores ABOVE every real score (e.g. +inf) so the real midranks are
+    unaffected, and weight 0 so they contribute to no count.
     """
     dtype = scores.dtype
     s_sorted = jnp.sort(scores)
     left = jnp.searchsorted(s_sorted, scores, side="left")
     right = jnp.searchsorted(s_sorted, scores, side="right")
     ranks = 0.5 * (left + right + 1).astype(dtype)   # 1-based midranks
-    n_pos = jnp.sum(labels)
-    n_neg = labels.shape[0] - n_pos
-    r_pos = jnp.sum(ranks * labels)
+    if weights is None:
+        n_pos = jnp.sum(labels)
+        n_neg = labels.shape[0] - n_pos
+        r_pos = jnp.sum(ranks * labels)
+    else:
+        n_pos = jnp.sum(labels * weights)
+        n_neg = jnp.sum(weights) - n_pos
+        r_pos = jnp.sum(ranks * labels * weights)
     return ((r_pos - n_pos * (n_pos + 1) / 2.0)
             / jnp.maximum(n_pos * n_neg, 1.0))
 

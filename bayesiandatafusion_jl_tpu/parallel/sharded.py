@@ -40,8 +40,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.data import (RelationData, resolved_alpha,
                            resolved_alpha_sample, resolved_lambda_beta)
-from ..models.engine import (EntitySpec, RelationSpec, _auc,
-                             build_random_spec)
+from ..models.engine import (EntitySpec, GibbsDriverMixin, RelationSpec,
+                             _auc, build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
 from ..ops.gramian import (assemble_precision,
@@ -351,9 +351,11 @@ class ShardedProblem:
                  "w": jnp.asarray(out_w)}, counts)
 
 
-class ShardedMacauEngine:
+class ShardedMacauEngine(GibbsDriverMixin):
     """shard_map Gibbs engine over a 1-D device mesh (API mirrors
-    MacauEngine; SURVEY §7.7)."""
+    MacauEngine, including the full run() aux-subsystem surface:
+    metrics_every batching, log_file, output_prefix, checkpoint_every,
+    trace_dir — one shared driver loop; SURVEY §7.7)."""
 
     def __init__(self, rd: RelationData, config: MacauConfig,
                  mesh: Optional[Mesh] = None):
@@ -489,40 +491,29 @@ class ShardedMacauEngine:
             lambda x: jax.device_put(x, self._shard_d), state_sh)
         return state_rep, state_sh
 
-    # -- driver --------------------------------------------------------------
-    def run(self, state=None, key: Optional[jax.Array] = None,
-            num_sweeps: Optional[int] = None, sweep_offset: int = 0,
-            callback=None) -> Dict[str, Any]:
-        import time
-        cfg = self.config
-        if key is None:
-            key = jax.random.key(cfg.seed)
-        if state is None:
-            state = self.init_state(jax.random.fold_in(key, 0))
+    # -- driver hooks (GibbsDriverMixin supplies run()) ----------------------
+    def _do_sweep(self, state, skey, accumulate):
         state_rep, state_sh = state
-        total = (cfg.burnin + cfg.psamples if num_sweeps is None
-                 else num_sweeps)
-        history = []
         p = self.problem
-        for s in range(sweep_offset, total):
-            t0 = time.perf_counter()
-            acc = 1.0 if s >= cfg.burnin else 0.0
-            state_rep, state_sh, metrics = self._sweep_jit(
-                p.arrays_sh, p.arrays_rep, state_rep, state_sh,
-                sweep_key(key, s + 1), acc)
-            metrics = {k: float(v)
-                       for k, v in jax.device_get(metrics).items()}
-            dt = time.perf_counter() - t0
-            metrics["time"] = dt
-            history.append(metrics)
-            phase = "burnin" if s < cfg.burnin else "sample"
-            if callback is not None:
-                callback(s, phase, metrics, dt)
-            if cfg.verbose:
-                print(f"sweep {s+1:4d} [{phase}] " + " ".join(
-                    f"{k}={v:.4f}" for k, v in metrics.items()
-                    if k.endswith("rmse_avg")) + f" {dt:.3f}s", flush=True)
-        return self._results((state_rep, state_sh), history)
+        state_rep, state_sh, metrics = self._sweep_jit(
+            p.arrays_sh, p.arrays_rep, state_rep, state_sh, skey,
+            accumulate)
+        return (state_rep, state_sh), metrics
+
+    def _save_sample(self, prefix: str, psample_idx: int, state) -> None:
+        """Posterior-sample dump in ORIGINAL instance order so saved
+        samples feed predict_out_of_matrix exactly like the single-device
+        engine's (SURVEY §7.4)."""
+        state_rep, _ = state
+        st = jax.device_get(state_rep)
+        out = {}
+        U_orig = self.factors_original_order(state_rep)
+        for ei, ent in enumerate(st["ent"]):
+            for k, v in ent.items():
+                out[f"e{ei}.{k}"] = U_orig[ei] if k == "U" else v
+        for ri, rel in enumerate(st["rel"]):
+            out[f"r{ri}.alpha"] = rel["alpha"]
+        np.savez(f"{prefix}-sample{psample_idx:04d}.npz", **out)
 
     def _results(self, state, history):
         state_rep, state_sh = state
@@ -641,6 +632,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 ent["lambda_beta"] = sample_lambda_beta(
                     beta, Lambda, rnd_rep[f"e{ei}.lb_g"],
                     cfg.nu_beta, cfg.lambda_beta_mean)
+            metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(beta)
+            metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
 
         # --- Normal-Wishart from psum-reduced moments (SURVEY §4.3) ---
         S_loc = U_loc - uhat_loc if uhat_loc is not None else U_loc
@@ -766,6 +759,18 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         e2avg = psum(jnp.sum(
             te["w"] * (pr["sum"] / n_eff - te["vals"]) ** 2))
         metrics[f"{pk}.rmse_avg"] = jnp.sqrt(e2avg / rs.n_test)
+        if rs.class_cut is not None:
+            # per-sweep AUC: all-gather the (small) test chunks so every
+            # device computes the identical global midrank statistic;
+            # padded entries go to +inf with weight 0 (engine.auc_device)
+            from ..models.engine import auc_device
+            pmean = pr["sum"] / n_eff
+            pm_g = jax.lax.all_gather(pmean, AXIS, axis=0).reshape(-1)
+            v_g = jax.lax.all_gather(te["vals"], AXIS, axis=0).reshape(-1)
+            w_g = jax.lax.all_gather(te["w"], AXIS, axis=0).reshape(-1)
+            labels = (v_g < rs.class_cut).astype(dtype) * w_g
+            scores = jnp.where(w_g > 0, -pm_g, jnp.inf)
+            metrics[f"{pk}.auc"] = auc_device(labels, scores, weights=w_g)
 
     # re-attach the local device axis for sharded outputs
     def unloc(tree):

@@ -177,6 +177,59 @@ def test_sharded_checkpoint_resume_exact(tmp_path):
     assert full["RMSE"] == resumed["RMSE"]
 
 
+def test_sharded_run_aux_parity(tmp_path):
+    """ShardedMacauEngine.run() honors the full aux surface: metrics_every
+    batching, log_file, output_prefix dumps (original instance order),
+    and per-sweep AUC/betanorm metrics matching the single-device engine."""
+    rng = np.random.default_rng(21)
+    n1, n2, k, f = 40, 24, 3, 10
+    feat = (rng.random((n1, f)) < 0.4).astype(np.float64)
+    df = _lowrank(rng, n1, n2, k)
+
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat, class_cut=0.0)
+        rd.assign_to_test(0, 40, seed=2)
+        return rd
+
+    def cfg(**kw):
+        return MacauConfig(num_latent=k, burnin=2, psamples=3,
+                           verbose=False, dtype="float64", use_ff=True,
+                           seed=33, **kw)
+
+    r1 = MacauEngine(build(), cfg()).run()
+    log = str(tmp_path / "sweeps.jsonl")
+    prefix = str(tmp_path / "sh")
+    r8 = ShardedMacauEngine(build(), cfg(log_file=log,
+                                         output_prefix=prefix),
+                            mesh=data_mesh()).run()
+    # per-sweep metrics parity (identical RNG; f64)
+    for h1, h8 in zip(r1["history"], r8["history"]):
+        for key in ("r0.rmse_avg", "r0.auc", "e0.betanorm",
+                    "e0.lambda_beta"):
+            np.testing.assert_allclose(h8[key], h1[key], rtol=1e-8,
+                                       err_msg=key)
+    # jsonl log written
+    import json
+    lines = [json.loads(l) for l in open(log)]
+    assert len(lines) == 5 and lines[-1]["sweep"] == 5
+    # posterior dumps exist and factors are in ORIGINAL order
+    import glob
+    files = sorted(glob.glob(prefix + "-sample*.npz"))
+    assert len(files) == 3
+    z = np.load(files[-1])
+    U8 = np.asarray(z["e0.U"])
+    eng8 = ShardedMacauEngine(build(), cfg(), mesh=data_mesh())
+    assert U8.shape == (n1, k)
+    np.testing.assert_allclose(
+        U8, np.asarray(r1["state"]["ent"][0]["U"]), rtol=1e-8, atol=1e-8)
+
+    # metrics_every gating: no per-sweep fetch unless forced
+    rME = ShardedMacauEngine(build(), cfg(metrics_every=5),
+                             mesh=data_mesh()).run()
+    skipped = [h for h in rME["history"] if "r0.rmse_avg" not in h]
+    assert len(skipped) >= 3
+
+
 def test_head_split_matches_single():
     """Head-entity splitting (psum-reduced ghost slots) must reproduce the
     unsplit result exactly (up to reduction order)."""
