@@ -88,8 +88,13 @@ def assemble_precision(
     b_acc = prior_mean @ Lambda
     if P_rows:
         inst = jnp.concatenate(inst_rows)
+        # scatter in 2D [rows, K*K] — XLA's TPU scatter handles the flat
+        # trailing dim ~2.9x faster than [rows, K, K] (measured 7.0 ms vs
+        # 19.95 ms at 88k rows -> 71k segments, K=32)
+        P_flat = jnp.concatenate(
+            [p.reshape(p.shape[0], K * K) for p in P_rows])
         P_acc = P_acc + jax.ops.segment_sum(
-            jnp.concatenate(P_rows), inst, num_segments=n)
+            P_flat, inst, num_segments=n).reshape(n, K, K)
         b_acc = b_acc + jax.ops.segment_sum(
             jnp.concatenate(b_rows), inst, num_segments=n)
     return P_acc, b_acc
@@ -159,10 +164,12 @@ def assemble_precision_planned(
     b_acc = prior_mean @ Lambda
     if not P_rows:
         return P_acc, b_acc
-    P_cat = jnp.concatenate(P_rows)
+    # 2D [rows, K*K] layout for take/segment_sum (see assemble_precision)
+    P_cat = jnp.concatenate([p.reshape(p.shape[0], K * K) for p in P_rows])
     b_cat = jnp.concatenate(b_rows)
     has = plan["has"]
-    P_acc = P_acc + jnp.take(P_cat, plan["first"], axis=0) * has[:, None, None]
+    P_acc = P_acc + (jnp.take(P_cat, plan["first"], axis=0)
+                     * has[:, None]).reshape(n, K, K)
     b_acc = b_acc + jnp.take(b_cat, plan["first"], axis=0) * has[:, None]
     # overflow: head-instance chunk rows + everything aimed at instance 0
     # (sentinel segment n collects the padding and is sliced off)
@@ -170,7 +177,7 @@ def assemble_precision_planned(
                               plan["ov_inst"], num_segments=n + 1)[:n]
     ovb = jax.ops.segment_sum(jnp.take(b_cat, plan["ov_rows"], axis=0),
                               plan["ov_inst"], num_segments=n + 1)[:n]
-    return P_acc + ovP, b_acc + ovb
+    return P_acc + ovP.reshape(n, K, K), b_acc + ovb
 
 
 def predict_tuples(

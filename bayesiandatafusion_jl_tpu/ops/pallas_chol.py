@@ -73,6 +73,95 @@ def _chol_solve_sample(A, b_ref, xi_ref, u_ref, K):
         u_ref[i, :] = u[i]
 
 
+def _chol_sample_slab_kernel(P_ref, b_ref, xi_ref, u_ref, A, R, U, *,
+                             K: int):
+    """Column-slab variant for K > 32 (docs/ROUND1_NOTES: the fully
+    unrolled kernel overflows the Mosaic compile helper at K >= 48).
+
+    Layout: A [K_col, K_row(sublane), T(lane)] — P is symmetric, so the
+    input transpose [K, K, T] reads as "column j = A[j]" for free.  The
+    right-looking recurrence then touches only CONTIGUOUS sublane slabs
+    ``A[j, k:, :]`` (~K^2/2 vector statements, vs K^3/6 scalar statements
+    unrolled — K=128 compiles at ~8.5k slabs).  L overwrites A's lower
+    triangle; both solves run column-oriented so they also see slabs
+    (the backward solve uses sum-over-sublanes instead of row access).
+    """
+    A[...] = P_ref[...]
+    for j in range(K):
+        d = jnp.sqrt(A[j, j, :])
+        inv = 1.0 / d
+        A[j, j, :] = d
+        if j + 1 < K:
+            A[j, j + 1:, :] = A[j, j + 1:, :] * inv[None, :]
+        for k in range(j + 1, K):
+            A[k, k:, :] = A[k, k:, :] - A[j, k:, :] * A[j, k, :][None, :]
+
+    # forward solve L y = b (y overwrites R)
+    R[...] = b_ref[...]
+    for k in range(K):
+        yk = R[k, :] / A[k, k, :]
+        R[k, :] = yk
+        if k + 1 < K:
+            R[k + 1:, :] = R[k + 1:, :] - A[k, k + 1:, :] * yk[None, :]
+
+    # backward solve L^T u = y + xi, column-oriented:
+    # u_i = (v_i - sum_{k>i} L[k,i] u_k) / L[i,i]; L[k>i, i] = A[i, i+1:, :]
+    R[...] = R[...] + xi_ref[...]
+    for i in range(K - 1, -1, -1):
+        v = R[i, :]
+        if i + 1 < K:
+            v = v - jnp.sum(A[i, i + 1:, :] * U[i + 1:, :], axis=0)
+        U[i, :] = v / A[i, i, :]
+    u_ref[...] = U[...]
+
+
+def chol_sample_pallas_tiled(P: jax.Array, b: jax.Array, xi: jax.Array,
+                             jitter: float = 0.0,
+                             tile: int = 256) -> jax.Array:
+    """Fused Cholesky-solve-sample for 32 < K <= 128 (slab kernel).
+
+    Unlike :func:`chol_sample_pallas`, Lambda is NOT fused — pass
+    P' = P + Lambda (the engine uses fuse_lambda=False for these K).
+    """
+    B, K, _ = P.shape
+    dtype = P.dtype
+    if jitter:
+        P = P + jitter * jnp.eye(K, dtype=dtype)
+    # VMEM budget: A scratch + P block = 2 * K*K*tile * 4B; keep <= ~8.5MB
+    while K * K * tile * 4 * 2 > 9_000_000 and tile > 128:
+        tile //= 2
+    pad = (-B) % tile
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(K, dtype=dtype), (pad, K, K))
+        P = jnp.concatenate([P, eye], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
+    Bp = B + pad
+    Pt = jnp.transpose(P, (1, 2, 0))   # [K, K, Bp]; symmetric => col view
+    bt = b.T
+    xt = xi.T
+
+    out = pl.pallas_call(
+        functools.partial(_chol_sample_slab_kernel, K=K),
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((K, K, tile), dtype),
+                        pltpu.VMEM((K, tile), dtype),
+                        pltpu.VMEM((K, tile), dtype)],
+    )(Pt, bt, xt)
+    return out.T[:B]
+
+
 def chol_sample_pallas(P: jax.Array, b: jax.Array, xi: jax.Array,
                        jitter: float = 0.0,
                        tile: int = 512,

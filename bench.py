@@ -69,8 +69,11 @@ def main():
     cfg = MacauConfig(num_latent=rank, burnin=sweeps_timed, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
                       gram_dtype="bfloat16", seed=42,
-                      bucket_widths=(8, 16, 24, 32, 48, 64, 96, 128, 192,
-                                     256, 384, 512, 1024, 2048))
+                      # 25 widths cut gather/einsum padding 1.22 -> 1.13
+                      # (measured r2: 75.9 -> 68.2 ms/sweep)
+                      bucket_widths=(8, 12, 16, 20, 24, 28, 32, 40, 48, 56,
+                                     64, 80, 96, 112, 128, 160, 192, 224,
+                                     256, 320, 384, 512, 768, 1024, 2048))
     eng = MacauEngine(rd, cfg)
     build_s = time.time() - t0
     print(f"# data+layout build: {build_s:.1f}s "

@@ -1,0 +1,79 @@
+"""Worker for the 2-process jax.distributed test (tests/test_multiprocess.py).
+
+Each process owns 2 CPU devices; the global mesh has 4. Both processes
+build the identical RelationData and run ShardedMacauEngine sweeps over
+the global mesh; process 0 writes the factors (original instance order)
+for comparison against the single-process engine.
+
+Run: python tests/_mp_worker.py <pid> <nproc> <port> <out.npz>
+"""
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_enable_x64", True)
+
+
+def build_problem():
+    import numpy as np
+
+    import bayesiandatafusion_jl_tpu as bdf
+
+    rng = np.random.default_rng(0)
+    n1, n2, k, f = 41, 29, 3, 23
+    feat = (rng.random((n1, f)) < 0.25).astype(np.float64)
+    U = rng.standard_normal((n1, k))
+    V = rng.standard_normal((n2, k))
+    R = U @ V.T + 0.1 * rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.5
+    df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], (n1, n2))
+    rd = bdf.RelationData.from_matrix(df, feat1=feat)
+    rd.assign_to_test(0, 40, seed=3)
+    return rd
+
+
+def config():
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    return MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                       dtype="float64", use_ff=False, cg_tol=1e-12, seed=7)
+
+
+N_SWEEPS = 3
+
+
+def main():
+    pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
+                             sys.argv[3], sys.argv[4])
+    from bayesiandatafusion_jl_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
+                           num_processes=nproc, process_id=pid)
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+
+    from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
+    from bayesiandatafusion_jl_tpu.parallel.sharded import ShardedMacauEngine
+    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
+
+    rd = build_problem()
+    cfg = config()
+    eng = ShardedMacauEngine(rd, cfg, mesh=data_mesh())
+    key = jax.random.key(cfg.seed)
+    sr, ss = eng.init_state(jax.random.fold_in(key, 0))
+    p = eng.problem
+    for s in range(N_SWEEPS):
+        sr, ss, metrics = eng._sweep_jit(p.arrays_sh, p.arrays_rep, sr, ss,
+                                         sweep_key(key, s + 1), 1.0)
+    rmse = float(metrics["r0.rmse_sample"])  # replicated -> local fetch
+    U = eng.factors_original_order(sr)
+    if pid == 0:
+        np.savez(out, rmse=rmse, **{f"U{i}": u for i, u in enumerate(U)})
+    print(f"worker {pid}: ok rmse={rmse:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
