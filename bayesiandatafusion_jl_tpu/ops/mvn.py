@@ -41,28 +41,37 @@ def chol_sample(P: jax.Array, b: jax.Array, xi: jax.Array,
 
 def use_pallas_chol(cfg) -> bool:
     """Pallas fused sampler eligibility (ops/pallas_chol.py): TPU backend,
-    f32, K small enough that the unrolled kernel stays compilable.
+    f32, K within a compilable kernel.
 
-    The fully-unrolled kernel (K^3/6 vector statements) compiles for
-    K <= 32; K >= 48 crashes this toolchain's Mosaic compile helper —
-    larger K falls back to the XLA path (a tiled kernel is a future
-    item, docs/ROUND1_NOTES.md).
+    K <= 32 uses the fully-unrolled batch-on-lanes kernel; 32 < K <= 96
+    the column-slab kernel (measured r2: 95x faster than the XLA path at
+    K=48/64, 67x at K=96 for 82k matrices).  K > 96 overflows the Mosaic
+    compile helper (~8.5k slab statements at K=128) and falls back to
+    XLA.
     """
     if cfg.pallas == "off":
         return False
     if cfg.pallas == "on":
         return True
     return (jax.default_backend() not in ("cpu",)
-            and cfg.dtype == "float32" and cfg.num_latent <= 32)
+            and cfg.dtype == "float32" and cfg.num_latent <= 96)
 
 
 def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
                          Lambda: jax.Array | None = None) -> jax.Array:
     """Fused sampler dispatch; when ``Lambda`` is given it is added to
-    every P_i (in-register on the Pallas path — no [N,K,K] HBM pass)."""
+    every P_i (in-register on the K<=32 Pallas path — no [N,K,K] HBM
+    pass; via one XLA broadcast-add on the slab/XLA paths)."""
+    K = P.shape[-1]
     if use_pallas_chol(cfg):
-        from .pallas_chol import chol_sample_pallas
-        return chol_sample_pallas(P, b, xi, cfg.chol_jitter, Lambda=Lambda)
+        if K <= 32:
+            from .pallas_chol import chol_sample_pallas
+            return chol_sample_pallas(P, b, xi, cfg.chol_jitter,
+                                      Lambda=Lambda)
+        from .pallas_chol import chol_sample_pallas_tiled
+        if Lambda is not None:
+            P = P + Lambda
+        return chol_sample_pallas_tiled(P, b, xi, cfg.chol_jitter)
     if Lambda is not None:
         P = P + Lambda
     return chol_sample(P, b, xi, cfg.chol_jitter)

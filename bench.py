@@ -1,16 +1,14 @@
-"""Benchmark: latent-factor rows sampled/sec/chip on MovieLens-10M rank 32.
+"""Benchmarks for the five BASELINE.json configs (one JSON line each).
 
-North-star metric (BASELINE.json / BASELINE.md): rows/s/chip, sweeps/s and
-RMSE@40 sweeps on an ML-10M-shaped problem at rank 32.  The reference repo
-publishes no numbers and Julia is unavailable in this sandbox (SURVEY.md
-§8), so ``vs_baseline`` is computed against the literature-anchored
-estimate of the reference's per-core throughput: 1e5 rows/s (upper end of
-the O(1e4-1e5) range for a Julia per-row K=32 sampler; documented in
-SURVEY §8 — re-derive when a Julia runtime is available).
+Default (driver) config: ML-10M rank 32 rows/s/chip — the north-star
+metric.  Select others with BENCH_CONFIG= ml100k | chembl | tensor |
+fusion | sharded1; BENCH_SMOKE=1 shrinks the default for CPU smoke runs.
 
-Prints ONE JSON line on stdout.  Runs on whatever jax.devices() offers
-(the single tunneled TPU chip under the driver; CPU works for smoke via
-BENCH_SMOKE=1).
+``vs_baseline`` is computed against the literature-anchored estimate of
+the reference's per-core throughput: 1e5 rows/s (upper end of the
+O(1e4-1e5) range for a Julia per-row K=32 sampler; SURVEY §8 — re-derive
+when a Julia runtime is available).  The reference repo publishes no
+benchmark numbers (BASELINE.json "published": {}).
 """
 import json
 import os
@@ -21,113 +19,116 @@ import numpy as np
 
 JULIA_ROWS_PER_S_ANCHOR = 1e5  # SURVEY §8 literature anchor, per core
 
+# 25-step width ladder: padding 1.22 -> 1.13 on ML-10M (r2 notes)
+WIDTHS = (8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+          160, 192, 224, 256, 320, 384, 512, 768, 1024, 2048)
 
-def main():
-    import jax
 
-    if os.environ.get("BENCH_CONFIG") == "chembl":
-        return chembl_bench()
-    smoke = os.environ.get("BENCH_SMOKE") == "1"
-    variant = "100k" if smoke else "10m"
-    sweeps_timed = 10 if smoke else 40
-    rank = 32
-
-    import bayesiandatafusion_jl_tpu as bdf
-    from bayesiandatafusion_jl_tpu.models.datasets import load_movielens
-    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
-    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
-    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
-
-    # The axon loopback relay stalls minutes on the FIRST device->host
-    # transfer of a process, then is fast; pay it on a background thread
-    # overlapped with the host-side data/layout build.
+def _warm_async():
+    """Pay the axon first-D2H stall on a thread, overlapped with the
+    host-side data/layout build."""
     import threading
+
+    import jax
     import jax.numpy as jnp
-    tw = time.time()
+    t0 = time.time()
 
     def _warm():
         _ = float(jax.jit(lambda: jnp.zeros(()))())
-        print(f"# d2h warmup: {time.time()-tw:.1f}s", file=sys.stderr)
+        print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    warm_thread = threading.Thread(target=_warm)
-    warm_thread.start()
+    th = threading.Thread(target=_warm)
+    th.start()
+    return th
 
+
+def _time_engine(eng, sweeps, label):
+    """Compile + run `sweeps` timed sweeps; returns (dt/sweep, metrics).
+
+    Forces a real D2H to end timing (block_until_ready can return early
+    on the axon relay).
+    """
+    import jax
+
+    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
+    key = jax.random.key(eng.config.seed)
+    state = eng.init_state(jax.random.fold_in(key, 0))
     t0 = time.time()
+    state, metrics = eng._do_sweep(state, sweep_key(key, 1), 0.0)
+    jax.block_until_ready(metrics)
+    print(f"# {label}: first sweep (compile+run) {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    for s in range(2, sweeps + 2):
+        state, metrics = eng._do_sweep(state, sweep_key(key, s), 1.0)
+    m0 = next(k for k in metrics if k.endswith("rmse_avg"))
+    _ = float(metrics[m0])
+    dt = (time.time() - t0) / sweeps
+    return dt, {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+
+def _emit(metric, value, unit="rows/s"):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / JULIA_ROWS_PER_S_ANCHOR, 2),
+    }))
+
+
+def _ml_engine(variant, sweeps, sharded=False):
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.data import IndexedDF
+    from bayesiandatafusion_jl_tpu.models.datasets import load_movielens
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".cache", f"ml{variant}.npz")
-    if os.path.exists(cache):
+    path = os.environ.get("BENCH_DATA")  # real ratings file, if provided
+    if path:
+        df = load_movielens(variant, path=path)
+    elif os.path.exists(cache):
         z = np.load(cache)
-        from bayesiandatafusion_jl_tpu.models.data import IndexedDF
         df = IndexedDF(z["idx"], z["vals"], tuple(z["shape"]))
     else:
         df = load_movielens(variant)
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         np.savez(cache, idx=df.idx, vals=df.vals, shape=df.shape)
     rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
-    n_test = min(100_000, df.nnz // 10)
-    rd.assign_to_test(0, n_test, seed=7)
-    cfg = MacauConfig(num_latent=rank, burnin=sweeps_timed, psamples=0,
+    rd.assign_to_test(0, min(100_000, df.nnz // 10), seed=7)
+    cfg = MacauConfig(num_latent=32, burnin=sweeps, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
-                      gram_dtype="bfloat16", seed=42,
-                      # 25 widths cut gather/einsum padding 1.22 -> 1.13
-                      # (measured r2: 75.9 -> 68.2 ms/sweep)
-                      bucket_widths=(8, 12, 16, 20, 24, 28, 32, 40, 48, 56,
-                                     64, 80, 96, 112, 128, 160, 192, 224,
-                                     256, 320, 384, 512, 768, 1024, 2048))
-    eng = MacauEngine(rd, cfg)
-    build_s = time.time() - t0
-    print(f"# data+layout build: {build_s:.1f}s "
+                      gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS)
+    if sharded:
+        from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
+        from bayesiandatafusion_jl_tpu.parallel.sharded import (
+            ShardedMacauEngine)
+        return ShardedMacauEngine(rd, cfg, mesh=data_mesh()), df
+    return MacauEngine(rd, cfg), df
+
+
+def bench_ml(variant, sweeps, sharded=False):
+    warm = _warm_async()
+    t0 = time.time()
+    eng, df = _ml_engine(variant, sweeps, sharded=sharded)
+    print(f"# data+layout build: {time.time()-t0:.1f}s "
           f"(nnz={df.nnz}, shape={df.shape})", file=sys.stderr)
-
-    warm_thread.join()
-    key = jax.random.key(cfg.seed)
-    state = eng.init_state(jax.random.fold_in(key, 0))
-    # compile + warmup (excluded from timing)
-    t0 = time.time()
-    state, metrics = eng._sweep_jit(eng.problem.arrays, state,
-                                    sweep_key(key, 1), 0.0)
-    jax.block_until_ready(metrics)
-    compile_s = time.time() - t0
-    print(f"# first sweep (compile+run): {compile_s:.1f}s", file=sys.stderr)
-
+    warm.join()
+    tag = "sharded mesh=1 " if sharded else ""
+    dt, m = _time_engine(eng, sweeps, f"ml{variant}{' sharded' if sharded else ''}")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
-    t0 = time.time()
-    for s in range(1, sweeps_timed + 1):
-        state, metrics = eng._sweep_jit(eng.problem.arrays, state,
-                                        sweep_key(key, s + 1), 1.0)
-    # force completion with a real D2H (block_until_ready can return
-    # before execution finishes on the axon relay backend)
-    _ = float(metrics["r0.rmse_avg"])
-    elapsed = time.time() - t0
-    sweeps_per_s = sweeps_timed / elapsed
-    rows_per_s = n_rows * sweeps_per_s
-    rmse = float(metrics["r0.rmse_avg"])
-    print(f"# {sweeps_timed} sweeps in {elapsed:.2f}s | "
-          f"RMSE(avg)={rmse:.4f} | device={jax.devices()[0]}",
-          file=sys.stderr)
-
-    print(json.dumps({
-        "metric": f"rows_sampled_per_s_per_chip (ML-{variant} rank {rank}; "
-                  f"sweeps/s={sweeps_per_s:.3f}, rmse@{sweeps_timed}={rmse:.4f})",
-        "value": round(rows_per_s, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(rows_per_s / JULIA_ROWS_PER_S_ANCHOR, 2),
-    }))
+    _emit(f"{tag}rows_sampled_per_s_per_chip (ML-{variant} rank 32; "
+          f"sweeps/s={1/dt:.3f}, rmse@{sweeps}={m['r0.rmse_avg']:.4f})",
+          n_rows / dt)
 
 
-def chembl_bench():
-    """Secondary config (BASELINE.md #3): Macau + ECFP side features, CG
-    link-matrix solver.  BENCH_CONFIG=chembl python bench.py"""
-    import jax
-    import jax.numpy as jnp
+def bench_chembl():
     from bayesiandatafusion_jl_tpu.models.datasets import synthetic_chembl
     from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
-    from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
 
-    t0 = time.time()
-    _ = float(jax.jit(lambda: jnp.zeros(()))())
-    print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    warm = _warm_async()
     rd = synthetic_chembl(n_compounds=15_000, n_targets=346,
                           n_features=32_000, nnz=300_000, seed=3)
     rd.assign_to_test(0, 30_000, seed=7)
@@ -135,25 +136,107 @@ def chembl_bench():
                       dtype="float32", gram_dtype="bfloat16",
                       use_ff=False, cg_maxiter=100, seed=42)
     eng = MacauEngine(rd, cfg)
-    key = jax.random.key(cfg.seed)
-    state = eng.init_state(jax.random.fold_in(key, 0))
-    state, m = eng._sweep_jit(eng.problem.arrays, state, sweep_key(key, 1),
-                              0.0)
-    _ = float(m["r0.rmse_sample"])
-    sweeps = 20
-    t0 = time.time()
-    for s in range(2, sweeps + 2):
-        state, m = eng._sweep_jit(eng.problem.arrays, state,
-                                  sweep_key(key, s), 1.0)
-    rmse = float(m["r0.rmse_avg"])
-    dt = (time.time() - t0) / sweeps
+    warm.join()
+    dt, m = _time_engine(eng, 20, "chembl")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
-    print(json.dumps({
-        "metric": f"chembl macau-CG rows/s/chip (rmse@{sweeps}={rmse:.4f})",
-        "value": round(n_rows / dt, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(n_rows / dt / JULIA_ROWS_PER_S_ANCHOR, 2),
-    }))
+    _emit(f"chembl macau-CG rows/s/chip (rmse@20={m['r0.rmse_avg']:.4f}, "
+          f"cg_iters={m['e0.cg_iters']:.0f})", n_rows / dt)
+
+
+def bench_tensor():
+    """Config #4: 3-way tensor relation (compound x target x context)."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    warm = _warm_async()
+    rng = np.random.default_rng(5)
+    n1, n2, n3, nnz, r = 30_000, 2_000, 16, 5_000_000, 32
+    key = np.unique(rng.integers(0, n1 * n2 * n3, int(nnz * 1.15)))[:nnz]
+    i1 = key // (n2 * n3)
+    i2 = (key // n3) % n2
+    i3 = key % n3
+    Us = [rng.standard_normal((n, r)) / np.sqrt(r) for n in (n1, n2, n3)]
+    vals = (np.sum(Us[0][i1] * Us[1][i2] * Us[2][i3], axis=1) * np.sqrt(r)
+            + 0.4 * rng.standard_normal(nnz))
+    df = bdf.IndexedDF(np.stack([i1, i2, i3], 1), vals, (n1, n2, n3))
+    rd = bdf.RelationData.from_indexed_df(df, relation_name="tensor")
+    rd.assign_to_test(0, 100_000, seed=7)
+    cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
+                      dtype="float32", gram_dtype="bfloat16", seed=42,
+                      bucket_widths=WIDTHS)
+    eng = MacauEngine(rd, cfg)
+    warm.join()
+    dt, m = _time_engine(eng, 15, "tensor")
+    n_rows = sum(es.n for es in eng.problem.entity_specs)
+    _emit(f"tensor 3-way rows/s/chip (30k x 2k x 16, 5M nnz, r32; "
+          f"rmse@15={m['r0.rmse_avg']:.4f})", n_rows / dt)
+
+
+def bench_fusion():
+    """Config #5: 3-relation fusion graph over a shared compound entity."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    warm = _warm_async()
+    rng = np.random.default_rng(6)
+    nc, nt, na, np_, r = 50_000, 500, 3_000, 800, 32
+    compound = bdf.Entity("compound", count=nc)
+    target = bdf.Entity("target", count=nt)
+    assay = bdf.Entity("assay", count=na)
+    pathway = bdf.Entity("pathway", count=np_)
+    rd = bdf.RelationData()
+    Uc = rng.standard_normal((nc, r)) / np.sqrt(r)
+
+    def rel(name, e2, n2, nnz):
+        key = np.unique(rng.integers(0, nc * n2, int(nnz * 1.15)))[:nnz]
+        i1, i2 = key // n2, key % n2
+        V = rng.standard_normal((n2, r)) / np.sqrt(r)
+        vals = (np.sum(Uc[i1] * V[i2], axis=1) * np.sqrt(r)
+                + 0.4 * rng.standard_normal(nnz))
+        rd.add_relation(bdf.IndexedDF(np.stack([i1, i2], 1), vals,
+                                      (nc, n2)), name, [compound, e2])
+
+    rel("ic50", target, nt, 5_000_000)
+    rel("assay", assay, na, 4_000_000)
+    rel("pathway", pathway, np_, 1_000_000)
+    rd.assign_to_test("ic50", 100_000, seed=7)
+    cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
+                      dtype="float32", gram_dtype="bfloat16", seed=42,
+                      bucket_widths=WIDTHS)
+    eng = MacauEngine(rd, cfg)
+    warm.join()
+    dt, m = _time_engine(eng, 15, "fusion")
+    n_rows = sum(es.n for es in eng.problem.entity_specs)
+    _emit(f"fusion 3-relation rows/s/chip (50k compounds, 10M nnz, r32; "
+          f"rmse@15={m['r0.rmse_avg']:.4f})", n_rows / dt)
+
+
+def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        # force CPU for local smoke runs (the axon sitecustomize pins the
+        # TPU platform and IGNORES JAX_PLATFORMS; the chip is single-
+        # process, so a stray bench would wedge any other TPU user)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cfg = os.environ.get("BENCH_CONFIG", "")
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    if cfg in ("", "ml10m"):
+        bench_ml("100k" if smoke else "10m", 10 if smoke else 40)
+    elif cfg == "ml100k":
+        bench_ml("100k", 40)
+    elif cfg == "chembl":
+        bench_chembl()
+    elif cfg == "tensor":
+        bench_tensor()
+    elif cfg == "fusion":
+        bench_fusion()
+    elif cfg == "sharded1":
+        bench_ml("100k" if smoke else "10m", 10 if smoke else 40,
+                 sharded=True)
+    else:
+        raise SystemExit(f"unknown BENCH_CONFIG={cfg!r}")
 
 
 if __name__ == "__main__":

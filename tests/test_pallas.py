@@ -49,6 +49,25 @@ def test_pallas_chol_jitter_and_exact_tile(interpret_pallas):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_chol_tiled_slab_matches_xla(interpret_pallas):
+    """Column-slab kernel (32 < K <= 96; ops/pallas_chol.py) vs XLA.
+    Small K keeps the interpret run fast; TPU timing is in round notes
+    (K=48: 5.15 ms vs XLA 488.8 ms at B=82k)."""
+    from bayesiandatafusion_jl_tpu.ops.pallas_chol import (
+        chol_sample_pallas_tiled)
+    rng = np.random.default_rng(2)
+    B, K = 20, 12
+    A = rng.standard_normal((B, K, K)).astype(np.float32) * 0.3
+    P = A @ A.transpose(0, 2, 1) + 3 * np.eye(K, dtype=np.float32)
+    b = rng.standard_normal((B, K)).astype(np.float32)
+    xi = rng.standard_normal((B, K)).astype(np.float32)
+    want = np.asarray(chol_sample(jnp.asarray(P), jnp.asarray(b),
+                                  jnp.asarray(xi)))
+    got = np.asarray(chol_sample_pallas_tiled(
+        jnp.asarray(P), jnp.asarray(b), jnp.asarray(xi), tile=8))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_pallas_segsum_sorted(interpret_pallas):
     from bayesiandatafusion_jl_tpu.ops.pallas_segsum import (
         segsum_sorted_pallas)
