@@ -86,8 +86,7 @@ class CompiledProblem:
         self.rel_specs: List[RelationSpec] = []
 
         arrays: Dict[str, Any] = {"layouts": {}, "feat": {}, "ftf": {},
-                                  "test": {}, "train": {}, "acc_plan": {},
-                                  "win_plan": {}}
+                                  "test": {}, "train": {}, "acc_plan": {}}
         # bucket shape metadata per (relation, mode) key (static)
         self.layout_meta: Dict[str, List[Tuple[int, int]]] = {}
         host_inst: Dict[str, List[np.ndarray]] = {}
@@ -158,7 +157,6 @@ class CompiledProblem:
         # accumulation plans: static first-row gather + overflow per entity,
         # in the exact contribs order the sweep uses (ops/gramian.py)
         from ..ops.gramian import plan_accumulation
-        self.win_plans = {}
         for ei, ent in enumerate(rd.entities):
             inst_list = []
             for ri, rs in enumerate(self.rel_specs):
@@ -169,14 +167,6 @@ class CompiledProblem:
             plan = plan_accumulation(inst_list, ent.count)
             arrays["acc_plan"][f"e{ei}"] = {
                 k: jnp.asarray(v) for k, v in plan.items()}
-            if config.accumulation == "window":
-                from ..ops.pallas_segsum import plan_windowed_segsum
-                wp = plan_windowed_segsum(inst_list, ent.count)
-                self.win_plans[ei] = wp.pop("meta")
-                # device arrays travel as jit ARGUMENTS (baking the
-                # one-hots into the HLO as constants blows up the
-                # remote-compile payload)
-                arrays["win_plan"][f"e{ei}"] = wp
 
         self.arrays = arrays
         # per-entity initial hyper values: model override else config
@@ -431,31 +421,7 @@ class MacauEngine(GibbsDriverMixin):
                         contribs.append((rels[ri]["alpha"], partners, ba))
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
             fuse = use_pallas_chol(cfg)
-            if cfg.accumulation == "window" and contribs:
-                # Pallas windowed one-hot reduction for the P side
-                # (ops/pallas_segsum.py); b side via segment_sum
-                from ..ops.gramian import bucket_gramian
-                from ..ops.pallas_segsum import segsum_windowed_pallas
-                P_list, b_rows, i_rows = [], [], []
-                for alpha, partners, ba in contribs:
-                    Pr, br = bucket_gramian(partners, ba["part"],
-                                            ba["val"], ba["mask"],
-                                            gram_dtype=gd)
-                    P_list.append(alpha * Pr)
-                    b_rows.append(alpha * br)
-                    i_rows.append(ba["inst"])
-                plan = dict(arrays["win_plan"][f"e{ei}"])
-                plan["meta"] = self.problem.win_plans[ei]
-                P_acc = segsum_windowed_pallas(P_list, plan, es.n)
-                if not fuse:
-                    P_acc = P_acc + Lambda
-                b_acc = prior_mean @ Lambda
-                if b_rows:
-                    b_acc = b_acc + jax.ops.segment_sum(
-                        jnp.concatenate(b_rows), jnp.concatenate(i_rows),
-                        num_segments=es.n)
-                lam_fused = Lambda if fuse else None
-            elif cfg.accumulation == "planned":
+            if cfg.accumulation == "planned":
                 P_acc, b_acc = assemble_precision_planned(
                     Lambda, prior_mean, contribs, es.n,
                     arrays["acc_plan"][f"e{ei}"], gram_dtype=gd)

@@ -359,10 +359,6 @@ class ShardedMacauEngine(GibbsDriverMixin):
 
     def __init__(self, rd: RelationData, config: MacauConfig,
                  mesh: Optional[Mesh] = None):
-        if config.accumulation == "window":
-            raise ValueError(
-                "accumulation='window' is not supported by the sharded "
-                "engine; use 'segment' or 'planned'")
         self.rd = rd
         self.config = config
         self.mesh = mesh if mesh is not None else data_mesh()

@@ -68,8 +68,9 @@ class MacauConfig:
 
     # --- TPU layout (no reference counterpart; SURVEY §9.0) ---
     bucket_widths: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
-    # Gramian-row accumulation: "segment" = one segment_sum (best on TPU);
-    # "planned" = static first-row gather + overflow (see ops/gramian.py)
+    # Gramian-row accumulation: "segment" = one 2D-flat segment_sum (best
+    # on TPU); "planned" = static first-row gather + overflow
+    # (see ops/gramian.py)
     accumulation: str = "segment"
     # sharded engine: sample/exchange the local shard in this many chunks so
     # block b's all-gather overlaps block b+1's Cholesky-sample (SURVEY §7.7)
@@ -100,14 +101,11 @@ class MacauConfig:
     checkpoint_path: Optional[str] = None
 
     def __post_init__(self):
-        if self.accumulation not in ("segment", "planned", "window"):
+        if self.accumulation not in ("segment", "planned"):
+            # "window" (r1's Pallas one-hot experiment) was removed in r2:
+            # the 2D-flat segment_sum beats it (7.0 vs 10.4 ms standalone)
+            # with none of the ~160 MB/mode plan-array cost
             raise ValueError(f"unknown accumulation {self.accumulation!r}")
-        if self.accumulation == "window" and self.gram_dtype != "bfloat16":
-            # the windowed one-hot kernel contracts in bf16; without
-            # bf16 Gramian inputs it would silently degrade f32 P rows
-            raise ValueError(
-                "accumulation='window' requires gram_dtype='bfloat16' "
-                "(the one-hot reduction contracts in bfloat16)")
 
     def np_dtype(self):
         return np.dtype(self.dtype)

@@ -68,20 +68,7 @@ def test_pallas_chol_tiled_slab_matches_xla(interpret_pallas):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_pallas_segsum_sorted(interpret_pallas):
-    from bayesiandatafusion_jl_tpu.ops.pallas_segsum import (
-        segsum_sorted_pallas)
-    rng = np.random.default_rng(3)
-    K, n = 4, 50
-    i1 = np.sort(rng.integers(0, n, 200)).astype(np.int32)
-    i2 = np.sort(rng.integers(0, n, 120)).astype(np.int32)
-    P1 = rng.standard_normal((200, K, K)).astype(np.float32)
-    P2 = rng.standard_normal((120, K, K)).astype(np.float32)
-    want = np.zeros((n, K, K), np.float32)
-    np.add.at(want, i1, P1)
-    np.add.at(want, i2, P2)
-    o1 = segsum_sorted_pallas(jnp.asarray(P1), jnp.asarray(i1), n,
-                              chunk=32, window=16)
-    o2 = segsum_sorted_pallas(jnp.asarray(P2), jnp.asarray(i2), n,
-                              chunk=24, window=16, init=o1)
-    np.testing.assert_allclose(np.asarray(o2), want, atol=2e-5)
+def test_unknown_accumulation_rejected():
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+    with pytest.raises(ValueError):
+        MacauConfig(accumulation="window")  # removed r1 experiment
