@@ -241,6 +241,9 @@ class GibbsDriverMixin:
                  else num_sweeps)
         history = []
         log_f = open(cfg.log_file, "a") if cfg.log_file else None
+        begin = getattr(self, "_begin_run", None)
+        if begin is not None:
+            begin()
         try:
             for s in range(sweep_offset, total):
                 t0 = time.perf_counter()
@@ -250,7 +253,9 @@ class GibbsDriverMixin:
                               and s == min(2, total - 1))
                 if trace_this:
                     jax.profiler.start_trace(cfg.trace_dir)
-                state, metrics = self._do_sweep(state, skey, accumulate)
+                state, metrics = self._do_sweep(
+                    state, skey, accumulate, tag=s,
+                    key_fn=lambda i: sweep_key(key, i + 1))
                 fetch = ((s + 1) % max(cfg.metrics_every, 1) == 0
                          or s == total - 1 or cfg.verbose
                          or callback is not None or log_f is not None
@@ -538,7 +543,7 @@ class MacauEngine(GibbsDriverMixin):
         return out, cg_diag
 
     # -- driver hooks (GibbsDriverMixin) -------------------------------------
-    def _do_sweep(self, state, skey, accumulate):
+    def _do_sweep(self, state, skey, accumulate, **_lookahead):
         return self._sweep_jit(self.problem.arrays, state, skey, accumulate)
 
     def _save_sample(self, prefix: str, psample_idx: int, state) -> None:

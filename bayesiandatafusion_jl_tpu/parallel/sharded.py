@@ -392,6 +392,7 @@ class ShardedMacauEngine(GibbsDriverMixin):
             out_specs=(s_rep_spec, s_sh_spec, P()),
             check_vma=False)
 
+
         def keyed(arrays_sh, arrays_rep, state_rep, state_sh, key, acc):
             randoms = draw_all(key, p.random_spec, self.dtype)
             rnd_sh, rnd_rep = self._split_randoms(randoms)
@@ -400,6 +401,20 @@ class ShardedMacauEngine(GibbsDriverMixin):
 
         self._sweep_jit = jax.jit(keyed, donate_argnums=(2, 3))
         self._shmap = shmap
+        # run() dispatches the draws as a SEPARATE jit: fusing draw+split
+        # into the shard_map program costs ~9 ms/sweep of XLA scheduling
+        # pathology at ML-10M (77.0 fused vs 67.9 + 1.9 split; plain
+        # engine is 67.7 — r2 job 73), which alone was the r1 "16%
+        # machinery overhead".  out_shardings pins the draws to their
+        # mesh layout at birth so the shmap call does not reshard them.
+        rnd_out_sh = (
+            jax.tree.map(lambda _: self._shard_d, rnd_sh_spec),
+            jax.tree.map(lambda _: self._shard_rep, rnd_rep_spec))
+        self._rnd_jit = jax.jit(
+            lambda key: self._split_randoms(
+                draw_all(key, p.random_spec, self.dtype)),
+            out_shardings=rnd_out_sh)
+        self._shmap_jit = jax.jit(shmap, donate_argnums=(2, 3, 4, 5))
 
     # -- randoms routing -----------------------------------------------------
     def _sharded_names(self):
@@ -488,12 +503,13 @@ class ShardedMacauEngine(GibbsDriverMixin):
         return state_rep, state_sh
 
     # -- driver hooks (GibbsDriverMixin supplies run()) ----------------------
-    def _do_sweep(self, state, skey, accumulate):
+    def _do_sweep(self, state, skey, accumulate, **_lookahead):
         state_rep, state_sh = state
         p = self.problem
-        state_rep, state_sh, metrics = self._sweep_jit(
-            p.arrays_sh, p.arrays_rep, state_rep, state_sh, skey,
-            accumulate)
+        rnd_sh, rnd_rep = self._rnd_jit(skey)
+        state_rep, state_sh, metrics = self._shmap_jit(
+            p.arrays_sh, p.arrays_rep, state_rep, state_sh, rnd_sh,
+            rnd_rep, accumulate)
         return (state_rep, state_sh), metrics
 
     def _save_sample(self, prefix: str, psample_idx: int, state) -> None:

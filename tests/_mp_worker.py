@@ -9,11 +9,15 @@ Run: python tests/_mp_worker.py <pid> <nproc> <port> <out.npz>
 """
 import sys
 
-import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
-jax.config.update("jax_enable_x64", True)
+def _configure():
+    """Worker-process jax config (must precede backend init).  NOT run at
+    import: the parent test imports this module for build_problem/config
+    after its own backends are already initialized."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_enable_x64", True)
 
 
 def build_problem():
@@ -45,6 +49,8 @@ N_SWEEPS = 3
 
 
 def main():
+    _configure()
+    import jax
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
     from bayesiandatafusion_jl_tpu.parallel.mesh import initialize_distributed
