@@ -414,7 +414,9 @@ class ShardedMacauEngine(GibbsDriverMixin):
             lambda key: self._split_randoms(
                 draw_all(key, p.random_spec, self.dtype)),
             out_shardings=rnd_out_sh)
-        self._shmap_jit = jax.jit(shmap, donate_argnums=(2, 3, 4, 5))
+        # donate state only: the rnd trees have no same-shaped outputs to
+        # alias (donating them just warns "donated buffers not usable")
+        self._shmap_jit = jax.jit(shmap, donate_argnums=(2, 3))
 
     # -- randoms routing -----------------------------------------------------
     def _sharded_names(self):

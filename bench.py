@@ -26,7 +26,10 @@ WIDTHS = (8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 112, 128,
 
 def _warm_async():
     """Pay the axon first-D2H stall on a thread, overlapped with the
-    host-side data/layout build."""
+    host-side data/layout build.  BENCH_NO_WARM_THREAD=1 warms inline —
+    required when the process is already device-warm (e.g. the tpuserv
+    job loop): a concurrent warm-thread D2H against the main thread's
+    device_puts deadlocks the axon relay."""
     import threading
 
     import jax
@@ -37,6 +40,13 @@ def _warm_async():
         _ = float(jax.jit(lambda: jnp.zeros(()))())
         print(f"# d2h warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if os.environ.get("BENCH_NO_WARM_THREAD") == "1":
+        _warm()
+
+        class _Done:
+            def join(self):
+                pass
+        return _Done()
     th = threading.Thread(target=_warm)
     th.start()
     return th
