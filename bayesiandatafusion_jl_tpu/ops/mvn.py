@@ -45,9 +45,10 @@ def use_pallas_chol(cfg) -> bool:
 
     K <= 32 uses the fully-unrolled batch-on-lanes kernel; 32 < K <= 96
     the column-slab kernel (measured r2: 95x faster than the XLA path at
-    K=48/64, 67x at K=96 for 82k matrices).  K > 96 overflows the Mosaic
-    compile helper (~8.5k slab statements at K=128) and falls back to
-    XLA.
+    K=48/64, 67x at K=96 for 82k matrices).  K > 96 falls back to XLA:
+    the slab kernel's ~8.5k unrolled statements overflow the Mosaic
+    compile helper at K=128, and a masked-fori alternative measured
+    ~100x slower than the slab (r2 probes; docs/ROUND2_NOTES.md).
     """
     if cfg.pallas == "off":
         return False

@@ -118,17 +118,27 @@ def _chol_sample_slab_kernel(P_ref, b_ref, xi_ref, u_ref, A, R, U, *,
 def chol_sample_pallas_tiled(P: jax.Array, b: jax.Array, xi: jax.Array,
                              jitter: float = 0.0,
                              tile: int = 256) -> jax.Array:
-    """Fused Cholesky-solve-sample for 32 < K <= 128 (slab kernel).
+    """Fused Cholesky-solve-sample for 32 < K <= 96 (column-slab kernel).
 
     Unlike :func:`chol_sample_pallas`, Lambda is NOT fused — pass
     P' = P + Lambda (the engine uses fuse_lambda=False for these K).
+
+    K > 96 is unsupported: the slab kernel's ~K^2/2 unrolled statements
+    overflow the Mosaic compile helper at K=128, and the masked-fori
+    alternative measured ~100x slower than the slab (full-matrix RMW per
+    column step) — worse than even XLA with host-side batch chunking.
+    r2 probes: /tmp/tpuq jobs 61/83/84.
     """
     B, K, _ = P.shape
+    if K > 96:
+        raise ValueError("chol_sample_pallas_tiled supports K <= 96; "
+                         "use the XLA path (chunk the batch if it OOMs)")
     dtype = P.dtype
     if jitter:
         P = P + jitter * jnp.eye(K, dtype=dtype)
-    # VMEM budget: A scratch + P block = 2 * K*K*tile * 4B; keep <= ~8.5MB
-    while K * K * tile * 4 * 2 > 9_000_000 and tile > 128:
+    # VMEM budget: A scratch + P block = 2 * K*K*tile * 4B; tile floor is
+    # 128 (lane dim of the b/xi/u blocks)
+    while K * K * tile * 4 * 2 > 9_500_000 and tile > 128:
         tile //= 2
     pad = (-B) % tile
     if pad:
@@ -141,19 +151,21 @@ def chol_sample_pallas_tiled(P: jax.Array, b: jax.Array, xi: jax.Array,
     bt = b.T
     xt = xi.T
 
+    in_specs = [
+        pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    u_spec = pl.BlockSpec((K, tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_chol_sample_slab_kernel, K=K),
         grid=(Bp // tile,),
-        in_specs=[
-            pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=u_spec,
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
         scratch_shapes=[pltpu.VMEM((K, K, tile), dtype),
                         pltpu.VMEM((K, tile), dtype),
