@@ -32,6 +32,8 @@ from jax.lax import linalg as lxl
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
 from ..ops.spmv import bucketed_spmm
+from ..ops.dense_gram import (dense_gram_contrib,
+                              hadamard_expand as dense_hadamard)
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
                            predict_tuples)
@@ -86,10 +88,41 @@ class CompiledProblem:
         self.rel_specs: List[RelationSpec] = []
 
         arrays: Dict[str, Any] = {"layouts": {}, "feat": {}, "ftf": {},
-                                  "test": {}, "train": {}, "acc_plan": {}}
+                                  "test": {}, "train": {}, "acc_plan": {},
+                                  "dense": {}}
         # bucket shape metadata per (relation, mode) key (static)
         self.layout_meta: Dict[str, List[Tuple[int, int]]] = {}
         host_inst: Dict[str, List[np.ndarray]] = {}
+
+        # dense-MXU Gramian plan (ops/dense_gram.py): modes that replace the
+        # observation gather with M @ Y matmuls skip the bucketed layout
+        from ..ops import dense_gram as dg
+        store_np = (np.float32 if config.gram_dtype == "bfloat16"
+                    else config.np_dtype())
+        store_jnp = (jnp.bfloat16 if config.gram_dtype == "bfloat16"
+                     else jnp.dtype(config.dtype))
+        self.dense_plans, _dense_canon, _dense_copies = dg.plan_dense_modes(
+            [tuple(e.count for e in rel.entities) for rel in rd.relations],
+            [rel.data.nnz for rel in rd.relations], K,
+            config.dense_gram, config.dense_gram_budget_gb * 1e9,
+            jnp.dtype(store_jnp).itemsize)
+        for ri in sorted(_dense_canon):
+            rel = rd.relations[ri]
+            M, W = dg.build_dense_pair(
+                rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
+                [e.count for e in rel.entities], store_np)
+            arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M, store_jnp),
+                                         "W": jnp.asarray(W, store_jnp)}
+            del M, W
+        for ri, mode in _dense_copies:
+            rel = rd.relations[ri]
+            perm = [mode] + [d for d in range(rel.arity) if d != mode]
+            M, W = dg.build_dense_pair(
+                rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
+                [e.count for e in rel.entities], store_np, perm=perm)
+            arrays["dense"][f"r{ri}m{mode}"] = {
+                "M": jnp.asarray(M, store_jnp), "W": jnp.asarray(W, store_jnp)}
+            del M, W
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -102,6 +135,12 @@ class CompiledProblem:
                 class_cut=rel.class_cut))
             centered = rel.data.vals - mean_value
             for mode in range(rel.arity):
+                if (ri, mode) in self.dense_plans:
+                    key = f"r{ri}m{mode}"
+                    self.layout_meta[key] = []
+                    host_inst[key] = []
+                    arrays["layouts"][key] = []
+                    continue
                 ml = layout_mod.build_mode_layout(
                     rel.data.idx, centered, mode,
                     rel.entities[mode].count,
@@ -416,12 +455,18 @@ class MacauEngine(GibbsDriverMixin):
             if uhat is not None:
                 prior_mean = prior_mean + uhat
             contribs = []
+            dense_contribs = []
             for ri, rs in enumerate(rel_specs):
                 for mode in range(rs.arity):
                     if rs.entity_ids[mode] != ei:
                         continue
                     partners = [ents[rs.entity_ids[d]]["U"]
                                 for d in range(rs.arity) if d != mode]
+                    plan = self.problem.dense_plans.get((ri, mode))
+                    if plan is not None:
+                        dense_contribs.append(
+                            (rels[ri]["alpha"], partners, ri, mode, plan))
+                        continue
                     for ba in arrays["layouts"][f"r{ri}m{mode}"]:
                         contribs.append((rels[ri]["alpha"], partners, ba))
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
@@ -436,6 +481,23 @@ class MacauEngine(GibbsDriverMixin):
                     Lambda, prior_mean, contribs, es.n, gram_dtype=gd,
                     fuse_lambda=fuse)
                 lam_fused = Lambda if fuse else None
+            # dense-MXU contributions (ops/dense_gram.py): M @ Y matmuls
+            # instead of the per-observation gather
+            for alpha, partners, ri, mode, plan in dense_contribs:
+                with jax.named_scope(f"dense_r{ri}m{mode}"):
+                    mdt = gd if gd is not None else dtype
+                    key = (f"r{ri}" if plan.kind != "copy"
+                           else f"r{ri}m{mode}")
+                    Mst = arrays["dense"][key]["M"]
+                    Wst = arrays["dense"][key]["W"]
+                    if plan.kind == "last":
+                        Mst = Mst.reshape(-1, es.n)
+                        Wst = Wst.reshape(-1, es.n)
+                    Z = dense_hadamard(partners, mdt)
+                    P_d, b_d = dense_gram_contrib(Mst, Wst, Z,
+                                                  plan.kind, dtype)
+                    P_acc = P_acc + alpha * P_d
+                    b_acc = b_acc + alpha * b_d
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
                                             randoms[f"e{ei}.xi"],
                                             Lambda=lam_fused)

@@ -1,0 +1,208 @@
+"""Dense-MXU Gramian accumulation: turn the sparse gather into a matmul.
+
+The per-instance precision assembly (reference: the per-row ``sample_user``
+loop, src/macau.jl [MED]; SURVEY.md §4.2/§5.4) is
+
+    P_i = sum_{o in Omega_i} z_o z_o^T ,    b_i = sum_o (v_o - mean) z_o
+
+The bucketed path (ops/gramian.py) gathers partner rows per observation —
+and on TPU XLA's row gather is ISSUE-bound at ~2.4 ns/row regardless of row
+width (round-2 probe data, docs/ROUND2_NOTES.md), which makes it the wall of
+the whole sweep at MovieLens-scale density (~51 of 67 ms).
+
+At typical fusion densities the MXU formulation wins outright: with the
+static 0/1 observation matrix ``M [N, Np]`` and centered-value matrix
+``W [N, Np]`` (both constants of the run), and ``Y [Np, K^2]`` the per-row
+outer products of the partner factors,
+
+    P = M @ Y  (reshaped to [N, K, K]),      b = W @ Z
+
+— two big matmuls with f32 accumulation instead of nnz row gathers.  The
+M @ Y matmul does ``2 N Np K^2`` FLOPs of which only ``density`` is useful,
+but the MXU's dense-FLOP rate is ~500x the gather's effective rate, so dense
+wins whenever density exceeds ~1/500 (ML-10M: 1.3%; ChEMBL IC50: 5.8%).
+Duplicate observations are summed into M/W at build time, which matches the
+gather path's per-observation accumulation exactly.
+
+Tensor relations (arity >= 3) contract the canonical dense value tensor
+``T [N_0, ..., N_{D-1}]`` along the partner axes: the first and last modes
+contract contiguous leading/trailing axes of the SAME stored array (XLA
+dot_general needs no transpose); middle modes need their own permuted copy,
+which the memory budget may decline (those modes then keep the gather path).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Measured machine constants (TPU v5e, round-2 probes) used by the auto
+# heuristic.  They only steer the dense-vs-gather choice; correctness is
+# identical either way.
+_GATHER_S_PER_OBS = 2.9e-9    # gather+einsum+segment-sum, per observation
+_MXU_FLOPS = 3.0e14           # sustained bf16 matmul
+_HBM_BPS = 7.0e11             # sustained HBM stream
+# Auto mode never fires below this nnz: tiny problems (the test suite) stay
+# on the gather path, keeping compile times and test seams unchanged.
+_AUTO_MIN_NNZ = 50_000
+
+
+class DenseModePlan:
+    """How one (relation, mode) contracts against the stored dense pair.
+
+    kind: 'first'  — contract trailing axes of the canonical [N_m, Np] view
+          'last'   — contract the leading axis ([Np, N_m] view)
+          'copy'   — own permuted [N_m, Np] matrices (middle modes)
+    """
+
+    def __init__(self, kind: str, n_focus: int, partner_counts: Tuple[int, ...]):
+        self.kind = kind
+        self.n_focus = n_focus
+        self.partner_counts = partner_counts
+
+
+def estimate_times(n_focus: int, np_comb: int, nnz: int, K: int,
+                   itemsize: int) -> Tuple[float, float]:
+    """(dense_seconds, gather_seconds) for one mode update."""
+    flops = 2.0 * n_focus * np_comb * (K * K)
+    bytes_mw = n_focus * np_comb * itemsize                # each of M, W
+    bytes_y = 2.0 * np_comb * (K * K + K) * itemsize       # build + read Y
+    # M @ Y is compute-bound (arithmetic intensity ~K^2/itemsize >> ridge),
+    # so M's streaming hides under the MXU; W @ Z is bandwidth-bound.
+    dense = (max(flops / _MXU_FLOPS, bytes_mw / _HBM_BPS)
+             + bytes_mw / _HBM_BPS + bytes_y / _HBM_BPS)
+    gather = nnz * _GATHER_S_PER_OBS
+    return dense, gather
+
+
+def plan_dense_modes(
+    shapes: Sequence[Tuple[int, ...]],   # per relation: entity counts
+    nnzs: Sequence[int],
+    K: int,
+    dense_gram: Optional[bool],          # None=auto, False=off, True=force
+    budget_bytes: float,
+    itemsize: int,
+):
+    """Decide which (relation, mode) pairs run dense.
+
+    Returns (plans, canonical_rels, copy_keys):
+      plans: dict  (ri, mode) -> DenseModePlan
+      canonical_rels: set of ri needing the canonical [prod(shape)] pair
+      copy_keys: list of (ri, mode) needing a permuted copy
+    """
+    plans = {}
+    canonical: set = set()
+    copies: List[Tuple[int, int]] = []
+    if dense_gram is False:
+        return plans, canonical, copies
+    spent = 0.0
+
+    # candidate list: (priority = est. time saved, ri, mode, extra bytes)
+    cands = []
+    for ri, shape in enumerate(shapes):
+        nnz = nnzs[ri]
+        if nnz == 0:
+            continue
+        if dense_gram is None and nnz < _AUTO_MIN_NNZ:
+            continue
+        total = int(np.prod([int(s) for s in shape], dtype=np.int64))
+        pair_bytes = 2.0 * total * itemsize          # M + W (shared per rel)
+        for mode in range(len(shape)):
+            n_focus = int(shape[mode])
+            np_comb = total // n_focus
+            # Y materialization must stay sane (tiny-focus tensor modes
+            # would expand a huge Hadamard table)
+            if np_comb * (K * K + K) * itemsize > 2e9:
+                continue
+            dense_t, gather_t = estimate_times(n_focus, np_comb, nnz, K,
+                                               itemsize)
+            if dense_gram is None and dense_t > 0.7 * gather_t:
+                continue
+            kind = ("first" if mode == 0
+                    else "last" if mode == len(shape) - 1 else "copy")
+            extra = pair_bytes if kind == "copy" else 0.0
+            cands.append((gather_t - dense_t, ri, mode, kind, extra,
+                          n_focus, shape))
+    # greedy by estimated saving, respecting the budget; the canonical pair
+    # is charged once per relation when first used
+    cands.sort(key=lambda c: -c[0])
+    for saving, ri, mode, kind, extra, n_focus, shape in cands:
+        total = int(np.prod([int(s) for s in shape], dtype=np.int64))
+        need = extra
+        if kind != "copy" and ri not in canonical:
+            need += 2.0 * total * itemsize
+        if spent + need > budget_bytes:
+            continue
+        spent += need
+        if kind == "copy":
+            copies.append((ri, mode))
+        else:
+            canonical.add(ri)
+        partner_counts = tuple(int(s) for d, s in enumerate(shape)
+                               if d != mode)
+        plans[(ri, mode)] = DenseModePlan(kind, n_focus, partner_counts)
+    return plans, canonical, copies
+
+
+def build_dense_pair(idx: np.ndarray, centered: np.ndarray,
+                     shape: Sequence[int], dtype,
+                     perm: Optional[Sequence[int]] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialize (M, W) as flat 2-D [shape[p0], prod(rest)] numpy arrays.
+
+    ``perm`` reorders the relation's modes first (used for middle-mode
+    copies: focus mode leading, partners in original order after it).
+    Duplicated index tuples accumulate (matches per-observation semantics).
+    """
+    dims = [int(s) for s in shape]
+    if perm is not None:
+        idx = idx[:, list(perm)]
+        dims = [dims[p] for p in perm]
+    total = int(np.prod(dims, dtype=np.int64))
+    lin = np.zeros(idx.shape[0], np.int64)
+    for d in range(idx.shape[1]):
+        lin = lin * dims[d] + idx[:, d].astype(np.int64)
+    # accumulate straight into the storage dtype (f32 covers exact 0/1
+    # counts and half-step rating sums; avoids a 2x f64 host transient on
+    # GB-scale relations)
+    acc = np.float64 if np.dtype(dtype) == np.float64 else np.float32
+    M = np.zeros(total, acc)
+    np.add.at(M, lin, acc(1.0))
+    W = np.zeros(total, acc)
+    np.add.at(W, lin, np.asarray(centered, acc))
+    n0 = dims[0]
+    return M.reshape(n0, -1), W.reshape(n0, -1)
+
+
+def hadamard_expand(partner_factors: Sequence[jax.Array],
+                    dtype) -> jax.Array:
+    """Z [prod N_d, K]: row-major Hadamard table over the partner list
+    (nesting order matches build_dense_pair's linear index)."""
+    Z = partner_factors[0].astype(dtype)
+    for U in partner_factors[1:]:
+        U = U.astype(dtype)
+        Z = (Z[:, None, :] * U[None, :, :]).reshape(-1, Z.shape[-1])
+    return Z
+
+
+def dense_gram_contrib(
+    M: jax.Array,            # [n_focus, Np]  ('first'/'copy')  or [Np, n_focus] ('last')
+    W: jax.Array,
+    Z: jax.Array,            # [Np, K] partner Hadamard table
+    kind: str,
+    out_dtype,
+) -> Tuple[jax.Array, jax.Array]:
+    """One mode's Gramian/rhs contribution (without alpha):
+    P [n, K, K], b [n, K]."""
+    K = Z.shape[-1]
+    Y = (Z[:, :, None] * Z[:, None, :]).reshape(Z.shape[0], K * K)
+    if kind == "last":
+        P = jnp.einsum("pn,pc->nc", M, Y, preferred_element_type=out_dtype)
+        b = jnp.einsum("pn,pk->nk", W, Z, preferred_element_type=out_dtype)
+    else:
+        P = jnp.einsum("np,pc->nc", M, Y, preferred_element_type=out_dtype)
+        b = jnp.einsum("np,pk->nk", W, Z, preferred_element_type=out_dtype)
+    n = P.shape[0]
+    return P.reshape(n, K, K), b

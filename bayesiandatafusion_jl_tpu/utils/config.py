@@ -59,6 +59,13 @@ class MacauConfig:
     # Gramian gather/contraction dtype: None = compute dtype; "bfloat16"
     # halves gather HBM traffic (accumulation stays f32)
     gram_dtype: Optional[str] = None
+    # Dense-MXU Gramian (ops/dense_gram.py): replace the per-observation
+    # gather with M @ Y matmuls on relations dense enough that the MXU
+    # wins (> ~1/500 observed density).  None = auto heuristic (measured
+    # machine constants; only fires at nnz >= 200k), False = never,
+    # True = wherever memory allows.
+    dense_gram: Optional[bool] = None
+    dense_gram_budget_gb: float = 6.0
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold

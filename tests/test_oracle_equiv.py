@@ -182,6 +182,76 @@ def test_symmetric_relation_equivalence():
     _run_equiv(rd, cfg, n_sweeps=3)
 
 
+def test_dense_gram_equivalence():
+    """accumulation via dense-MXU M @ Y matmuls (ops/dense_gram.py) must
+    match the oracle exactly — same per-observation semantics, different
+    summation order only."""
+    rng = np.random.default_rng(31)
+    rd = _matrix_rd(rng)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, seed=31)
+    _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_dense_gram_tensor_equivalence():
+    """3-way tensor through the dense path exercises all three contraction
+    kinds: 'first' (mode 0), 'copy' (middle mode), 'last' (mode 2)."""
+    rng = np.random.default_rng(32)
+    shape = (9, 8, 5)
+    T = rng.standard_normal(shape)
+    mask = rng.random(shape) < 0.4
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, T[mask], shape)
+    rd = bdf.RelationData.from_indexed_df(df)
+    cfg = MacauConfig(num_latent=2, verbose=False, dtype="float64",
+                      dense_gram=True, seed=32)
+    eng_probe = MacauEngine(rd, cfg)
+    kinds = {m: p.kind for (_, m), p in eng_probe.problem.dense_plans.items()}
+    assert kinds == {0: "first", 1: "copy", 2: "last"}
+    _run_equiv(rd, cfg, n_sweeps=2)
+
+
+def test_dense_gram_multirelation_equivalence():
+    """Fusion graph + sampled alpha with every mode dense: the shared
+    entity accumulates dense contributions from two relations."""
+    rng = np.random.default_rng(33)
+    nc, nt, na = 15, 12, 7
+    e_c, e_t, e_a = (bdf.Entity(n, count=c)
+                     for n, c in [("c", nc), ("t", nt), ("a", na)])
+    rd = bdf.RelationData()
+    for name, ents, shp in [("r1", [e_c, e_t], (nc, nt)),
+                            ("r2", [e_c, e_a], (nc, na))]:
+        R = rng.standard_normal(shp)
+        mask = rng.random(shp) < 0.5
+        rd.add_relation(
+            bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], shp),
+            name, ents)
+    rd.set_precision("r1", 5.0, sample=True)
+    rd.set_precision("r2", 2.0, sample=True)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, seed=33)
+    _run_equiv(rd, cfg, n_sweeps=3, check_alpha=True)
+
+
+def test_dense_gram_symmetric_and_degree_zero():
+    """Dense path with the same entity on both modes and empty rows/cols
+    (degree-zero instances fall back to the prior via an all-zero M row)."""
+    rng = np.random.default_rng(34)
+    n = 18
+    mask = rng.random((n, n)) < 0.4
+    np.fill_diagonal(mask, False)
+    mask[4, :] = False
+    mask[:, 4] = False
+    idx = np.stack(np.nonzero(mask), 1)
+    df = bdf.IndexedDF(idx, rng.standard_normal(idx.shape[0]), (n, n))
+    e = bdf.Entity("drug", count=n)
+    rd = bdf.RelationData()
+    rd.add_relation(df, "interaction", [e, e])
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, seed=34)
+    _run_equiv(rd, cfg, n_sweeps=3)
+
+
 def test_degree_zero_instances_equivalence():
     """Instances with NO observations must sample from the prior
     N(mu, Lambda^{-1}) — P = Lambda path, no NaNs, matches oracle."""
