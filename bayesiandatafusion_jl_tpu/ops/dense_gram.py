@@ -84,6 +84,9 @@ def plan_dense_modes(
     dense_gram: Optional[bool],          # None=auto, False=off, True=force
     budget_bytes: float,
     itemsize: int,
+    per_mode_pairs: bool = False,        # sharded engine: every mode owns
+                                         # its focus-sharded pair (no
+                                         # canonical-array sharing)
 ):
     """Decide which (relation, mode) pairs run dense.
 
@@ -120,8 +123,11 @@ def plan_dense_modes(
                                                itemsize)
             if dense_gram is None and dense_t > 0.7 * gather_t:
                 continue
-            kind = ("first" if mode == 0
-                    else "last" if mode == len(shape) - 1 else "copy")
+            if per_mode_pairs:
+                kind = "copy"
+            else:
+                kind = ("first" if mode == 0
+                        else "last" if mode == len(shape) - 1 else "copy")
             extra = pair_bytes if kind == "copy" else 0.0
             cands.append((gather_t - dense_t, ri, mode, kind, extra,
                           n_focus, shape))

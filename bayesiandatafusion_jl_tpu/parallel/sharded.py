@@ -44,6 +44,8 @@ from ..models.engine import (EntitySpec, GibbsDriverMixin, RelationSpec,
                              _auc, build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
+from ..ops.dense_gram import (dense_gram_contrib,
+                              hadamard_expand as dense_hadamard)
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
                            predict_tuples)
@@ -117,10 +119,29 @@ class ShardedProblem:
 
         arrays_sh: Dict[str, Any] = {"layouts": {}, "feat": {}, "test": {},
                                      "train": {}, "rowmask": {},
-                                     "acc_plan": {}, "headmap": {}}
+                                     "acc_plan": {}, "headmap": {},
+                                     "dense": {}}
         arrays_rep: Dict[str, Any] = {"ftf": {}}
         self.test_meta: Dict[int, Dict[str, Any]] = {}
         host_inst: Dict[str, List[List[np.ndarray]]] = {}  # key -> [dev][bucket]
+
+        # dense-MXU Gramian plan (ops/dense_gram.py), focus-sharded: each
+        # dense mode stores its own [n_dev, n_loc, prod(partner n_pad)]
+        # M/W slab pair (per-mode pairs: mode shardings differ, so the
+        # single-device canonical-array sharing does not apply).  Head
+        # splitting is unnecessary for dense modes — MXU work is balanced
+        # by row count, not degree — so head observations stay with their
+        # owner's M rows.
+        from ..ops import dense_gram as dg
+        store_np = (np.float32 if config.gram_dtype == "bfloat16"
+                    else config.np_dtype())
+        store_jnp = (jnp.bfloat16 if config.gram_dtype == "bfloat16"
+                     else jnp.dtype(config.dtype))
+        self.dense_plans, _, _ = dg.plan_dense_modes(
+            [tuple(e.count for e in rel.entities) for rel in rd.relations],
+            [rel.data.nnz for rel in rd.relations], config.num_latent,
+            config.dense_gram, config.dense_gram_budget_gb * 1e9,
+            jnp.dtype(store_jnp).itemsize, per_mode_pairs=True)
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -138,6 +159,25 @@ class ShardedProblem:
             for mode in range(rel.arity):
                 em = eids[mode]
                 meta = self.ent_meta[em]
+                if (ri, mode) in self.dense_plans:
+                    # full permuted+padded pair [n_pad, prod partner n_pad];
+                    # reshape to [n_dev, n_loc, Np] IS the per-device stack
+                    # (owner = position // n_loc)
+                    perm_order = [mode] + [d for d in range(rel.arity)
+                                           if d != mode]
+                    dims = [self.ent_meta[eids[d]].n_pad
+                            for d in range(rel.arity)]
+                    M, W = dg.build_dense_pair(idx_p, centered, dims,
+                                               store_np, perm=perm_order)
+                    arrays_sh["dense"][f"r{ri}m{mode}"] = {
+                        "M": jnp.asarray(
+                            M.reshape(n_dev, meta.n_loc, -1), store_jnp),
+                        "W": jnp.asarray(
+                            W.reshape(n_dev, meta.n_loc, -1), store_jnp)}
+                    del M, W
+                    arrays_sh["layouts"][f"r{ri}m{mode}"] = []
+                    host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
+                    continue
                 owner = idx_p[:, mode] // meta.n_loc
                 local_focus = idx_p[:, mode] - owner * meta.n_loc
                 if meta.n_head:
@@ -666,12 +706,18 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         if uhat_loc is not None:
             prior_mean = prior_mean + uhat_loc
         contribs = []
+        dense_contribs = []
         for ri, rs in enumerate(problem.rel_specs):
             for mode in range(rs.arity):
                 if rs.entity_ids[mode] != ei:
                     continue
                 partners = [ents[rs.entity_ids[d]]["U"]
                             for d in range(rs.arity) if d != mode]
+                plan = problem.dense_plans.get((ri, mode))
+                if plan is not None:
+                    dense_contribs.append(
+                        (rels[ri]["alpha"], partners, ri, mode))
+                    continue
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
@@ -700,6 +746,19 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             P_acc, b_acc = assemble_precision(
                 Lambda, prior_mean, contribs, meta.n_loc, gram_dtype=gd,
                 fuse_lambda=fuse)
+        # dense-MXU contributions (ops/dense_gram.py): the local M/W slab
+        # against the replicated partner Hadamard table — row-sharded
+        # matmuls, no collectives (head rows accumulate fully on their
+        # owner; added after the ghost fold, like the single-device add)
+        for alpha, partners, ri, mode in dense_contribs:
+            with jax.named_scope(f"dense_r{ri}m{mode}"):
+                mdt = gd if gd is not None else dtype
+                sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
+                Z = dense_hadamard(partners, mdt)
+                P_d, b_d = dense_gram_contrib(sl["M"], sl["W"], Z,
+                                              "first", dtype)
+                P_acc = P_acc + alpha * P_d
+                b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]
         # --- sample + factor exchange, block-pipelined (SURVEY §7.7): the
         # local shard is sampled in `exchange_blocks` chunks and each

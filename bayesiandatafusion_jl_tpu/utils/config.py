@@ -62,7 +62,7 @@ class MacauConfig:
     # Dense-MXU Gramian (ops/dense_gram.py): replace the per-observation
     # gather with M @ Y matmuls on relations dense enough that the MXU
     # wins (> ~1/500 observed density).  None = auto heuristic (measured
-    # machine constants; only fires at nnz >= 200k), False = never,
+    # machine constants; only fires at nnz >= 50k), False = never,
     # True = wherever memory allows.
     dense_gram: Optional[bool] = None
     dense_gram_budget_gb: float = 6.0

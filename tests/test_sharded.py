@@ -262,3 +262,53 @@ def test_head_split_matches_single():
         np.testing.assert_allclose(
             U8[ei], np.asarray(r1["state"]["ent"][ei]["U"]),
             rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_dense_gram_matches_single():
+    """Dense-MXU path on both engines: 8-device focus-sharded M/W slabs
+    must reproduce the single-device dense engine (and hence the oracle)
+    at 1e-8, including a dense mode coexisting with head splitting."""
+    rng = np.random.default_rng(11)
+    df = _lowrank(rng, 53, 37)
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, seed=5)
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_dense_gram_tensor_multirel():
+    """Dense sharded slabs for a fusion graph with a 3-way tensor: every
+    mode of every relation goes dense (per-mode pairs), alpha sampled."""
+    rng = np.random.default_rng(12)
+    nc, nt, na = 33, 21, 6
+    e_c = bdf.Entity("c", count=nc)
+    e_t = bdf.Entity("t", count=nt)
+    e_a = bdf.Entity("a", count=na)
+
+    shape3 = (nc, nt, na)
+    T = rng.standard_normal(shape3)
+    m3 = rng.random(shape3) < 0.2
+    idx3 = np.stack(np.nonzero(m3), 1)
+    m2 = rng.random((nc, nt)) < 0.5
+    R2 = rng.standard_normal((nc, nt))
+    idx2 = np.stack(np.nonzero(m2), 1)
+
+    def build():
+        rd = bdf.RelationData()
+        rd.add_relation(bdf.IndexedDF(idx3, T[m3], shape3), "ternary",
+                        [e_c, e_t, e_a])
+        rd.add_relation(bdf.IndexedDF(idx2, R2[m2], (nc, nt)), "pair",
+                        [e_c, e_t])
+        rd.set_precision("pair", 2.0, sample=True)
+        rd.assign_to_test("ternary", 40, seed=3)
+        return rd
+
+    cfg = MacauConfig(num_latent=2, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, seed=13)
+    _compare_engines(build, cfg, n_sweeps=3)
