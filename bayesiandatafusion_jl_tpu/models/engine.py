@@ -179,6 +179,20 @@ class CompiledProblem:
                         widths=config.bucket_widths,
                         row_pad=config.row_pad, dtype=dtype),
                     "colcount": jnp.asarray(F.col_sq_sums().astype(dtype))}
+                # dense [N, F] matvec operand (ops/dense_gram.py): binary
+                # features are exact in bf16; real-valued stay in the
+                # compute dtype so the CG operator is unchanged
+                fx_jnp = store_jnp if F.is_binary else jnp.dtype(dtype)
+                if dg.use_dense_feat(ent.count, nf, F.nnz,
+                                     jnp.dtype(fx_jnp).itemsize,
+                                     config.dense_gram):
+                    Xd = np.zeros((ent.count, nf),
+                                  np.float32 if fx_jnp == jnp.bfloat16
+                                  else dtype)
+                    np.add.at(Xd, (F.rows, F.cols), F.values())
+                    arrays["feat"][f"e{ei}"]["dense_X"] = \
+                        jnp.asarray(Xd, fx_jnp)
+                    del Xd
                 if use_ff:
                     try:
                         import scipy.sparse as sp
@@ -573,8 +587,28 @@ class MacauEngine(GibbsDriverMixin):
         E1 = colored(randoms[f"e{ei}.beta_e1"])
         E2 = colored(randoms[f"e{ei}.beta_e2"])
 
+        Xd = feat.get("dense_X")
+        if Xd is not None:
+            # dense feature products (ops/dense_gram.py use_dense_feat):
+            # bandwidth-bound streams instead of issue-bound gathers
+            xdt = Xd.dtype
+
+            def spmm_fwd(V):
+                return jnp.einsum("nf,fk->nk", Xd, V.astype(xdt),
+                                  preferred_element_type=dtype)
+
+            def spmm_t(V):
+                return jnp.einsum("nf,nk->fk", Xd, V.astype(xdt),
+                                  preferred_element_type=dtype)
+        else:
+            def spmm_fwd(V):
+                return bucketed_spmm(mv["fwd"], N, V)
+
+            def spmm_t(V):
+                return bucketed_spmm(mv["t"], F, V)
+
         resid = U - mu[None, :] + E1
-        Xt_resid = bucketed_spmm(mv["t"], F, resid)
+        Xt_resid = spmm_t(resid)
         rhs = Xt_resid + jnp.sqrt(lam) * E2
 
         cg_diag = None
@@ -586,8 +620,7 @@ class MacauEngine(GibbsDriverMixin):
                                         transpose_a=True)
         else:
             def matvec(V):
-                XV = bucketed_spmm(mv["fwd"], N, V)
-                return bucketed_spmm(mv["t"], F, XV) + lam * V
+                return spmm_t(spmm_fwd(V)) + lam * V
             # Jacobi preconditioner: diag(X'X + lam I) = sq col sums + lam.
             # f32's recursive residual stalls around ~1e-5 relative, so
             # floor the tolerance there to avoid burning maxiter; the
@@ -599,7 +632,7 @@ class MacauEngine(GibbsDriverMixin):
                                        precond_diag=feat["colcount"] + lam)
             cg_diag = (it, resid)
 
-        uhat = bucketed_spmm(mv["fwd"], N, beta)
+        uhat = spmm_fwd(beta)
         out = dict(ent)
         out["beta"], out["uhat"] = beta, uhat
         return out, cg_diag

@@ -47,6 +47,10 @@ _HBM_BPS = 7.0e11             # sustained HBM stream
 # Auto mode never fires below this nnz: tiny problems (the test suite) stay
 # on the gather path, keeping compile times and test seams unchanged.
 _AUTO_MIN_NNZ = 50_000
+# Measured bucketed feature-matvec cost per nnz PASS (ChEMBL 15k x 32k,
+# 600k nnz: 7.4 ms per X'(Xv) = two passes) — the same issue-bound gather
+# wall as the Gramian.
+_SPMM_S_PER_NNZ = 6.2e-9
 
 
 class DenseModePlan:
@@ -150,6 +154,27 @@ def plan_dense_modes(
                                if d != mode)
         plans[(ri, mode)] = DenseModePlan(kind, n_focus, partner_counts)
     return plans, canonical, copies
+
+
+def use_dense_feat(n: int, f: int, nnz: int, itemsize: int,
+                   dense_gram: Optional[bool]) -> bool:
+    """Dense [N, F] feature matrix for the beta matvec (SURVEY §4.4)?
+
+    The CG matvec ``X'(X v)`` on the bucketed sparse layout pays the same
+    issue-bound gather cost as the Gramian did; streaming a dense X twice
+    per iteration is bandwidth-bound and wins at ECFP-scale density
+    (ChEMBL 15k x 32k: ~2.8 ms vs 7.4 ms per matvec).  Capped at 2 GB.
+    """
+    bytes_x = float(n) * f * itemsize
+    if dense_gram is False or bytes_x > 2e9:
+        return False
+    if dense_gram is None:
+        if nnz < _AUTO_MIN_NNZ:
+            return False
+        dense_t = 2.0 * bytes_x / _HBM_BPS
+        gather_t = 2.0 * nnz * _SPMM_S_PER_NNZ
+        return dense_t < 0.7 * gather_t
+    return True
 
 
 def build_dense_pair(idx: np.ndarray, centered: np.ndarray,

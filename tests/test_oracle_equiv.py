@@ -252,6 +252,20 @@ def test_dense_gram_symmetric_and_degree_zero():
     _run_equiv(rd, cfg, n_sweeps=3)
 
 
+def test_dense_feat_cg_equivalence():
+    """Dense [N, F] feature operand for the beta CG matvec (use_dense_feat)
+    — same operator as the bucketed spmm up to summation order, so the CG
+    draw matches the oracle to solver tolerance."""
+    rng = np.random.default_rng(35)
+    feat = (rng.random((22, 13)) < 0.3).astype(np.float64)
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      use_ff=False, cg_tol=1e-12, dense_gram=True, seed=35)
+    eng = MacauEngine(rd, cfg)
+    assert "dense_X" in eng.problem.arrays["feat"]["e0"]
+    _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-6, check_beta=True)
+
+
 def test_degree_zero_instances_equivalence():
     """Instances with NO observations must sample from the prior
     N(mu, Lambda^{-1}) — P = Lambda path, no NaNs, matches oracle."""
