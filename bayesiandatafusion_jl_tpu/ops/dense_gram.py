@@ -144,6 +144,13 @@ def plan_dense_modes(
         if kind != "copy" and ri not in canonical:
             need += 2.0 * total * itemsize
         if spent + need > budget_bytes:
+            # no silent caps: a budget-declined mode silently riding the
+            # (much slower) gather path cost a round of debugging once
+            import sys
+            print(f"# dense_gram: relation {ri} mode {mode} declined by "
+                  f"budget ({(spent + need) / 1e9:.2f} GB > "
+                  f"{budget_bytes / 1e9:.2f} GB) — gather path",
+                  file=sys.stderr)
             continue
         spent += need
         if kind == "copy":
@@ -218,6 +225,24 @@ def hadamard_expand(partner_factors: Sequence[jax.Array],
     return Z
 
 
+_tri_cache = {}
+
+
+def _tri_maps(K: int):
+    """(iu, ju, expand) for symmetric packing: Y needs only the K(K+1)/2
+    upper-triangle products (P is symmetric — ~48% of the matmul FLOPs
+    are redundant); ``expand`` maps flat [K*K] positions back into the
+    packed triangle."""
+    if K not in _tri_cache:
+        iu, ju = np.triu_indices(K)
+        tri_of = np.zeros((K, K), np.int32)
+        tri_of[iu, ju] = np.arange(len(iu), dtype=np.int32)
+        tri_of = np.maximum(tri_of, tri_of.T)  # symmetric lookup
+        _tri_cache[K] = (iu.astype(np.int32), ju.astype(np.int32),
+                         tri_of.reshape(-1))
+    return _tri_cache[K]
+
+
 def dense_gram_contrib(
     M: jax.Array,            # [n_focus, Np]  ('first'/'copy')  or [Np, n_focus] ('last')
     W: jax.Array,
@@ -226,14 +251,22 @@ def dense_gram_contrib(
     out_dtype,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
-    P [n, K, K], b [n, K]."""
+    P [n, K, K], b [n, K].
+
+    The Gramian matmul runs on the packed upper triangle (Y_tri [Np,
+    K(K+1)/2]) and expands afterwards with a static take — P_ab and P_ba
+    are the same rounded value either way (commutative products, same
+    accumulation order), so results are bit-identical to the full form.
+    """
     K = Z.shape[-1]
-    Y = (Z[:, :, None] * Z[:, None, :]).reshape(Z.shape[0], K * K)
+    iu, ju, expand = _tri_maps(K)
+    Y = Z[:, iu] * Z[:, ju]                      # [Np, K(K+1)/2]
     if kind == "last":
-        P = jnp.einsum("pn,pc->nc", M, Y, preferred_element_type=out_dtype)
+        Pt = jnp.einsum("pn,pc->nc", M, Y, preferred_element_type=out_dtype)
         b = jnp.einsum("pn,pk->nk", W, Z, preferred_element_type=out_dtype)
     else:
-        P = jnp.einsum("np,pc->nc", M, Y, preferred_element_type=out_dtype)
+        Pt = jnp.einsum("np,pc->nc", M, Y, preferred_element_type=out_dtype)
         b = jnp.einsum("np,pk->nk", W, Z, preferred_element_type=out_dtype)
-    n = P.shape[0]
+    n = Pt.shape[0]
+    P = jnp.take(Pt, jnp.asarray(expand), axis=1)
     return P.reshape(n, K, K), b

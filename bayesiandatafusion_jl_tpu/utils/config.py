@@ -65,7 +65,10 @@ class MacauConfig:
     # machine constants; only fires at nnz >= 50k), False = never,
     # True = wherever memory allows.
     dense_gram: Optional[bool] = None
-    dense_gram_budget_gb: float = 6.0
+    # HBM allowance for dense M/W pairs.  Sized so the sharded engine's
+    # per-mode pairs fit at ML-10M scale (2 x 3.06 GB bf16); modes that
+    # do not fit fall back to the gather path (logged to stderr).
+    dense_gram_budget_gb: float = 9.0
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold
