@@ -32,8 +32,7 @@ from jax.lax import linalg as lxl
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
 from ..ops.spmv import bucketed_spmm
-from ..ops.dense_gram import (dense_gram_contrib,
-                              hadamard_expand as dense_hadamard)
+from ..ops.dense_gram import dense_gram_contrib
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
                            predict_tuples)
@@ -113,15 +112,6 @@ class CompiledProblem:
                 [e.count for e in rel.entities], store_np)
             arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M, store_jnp),
                                          "W": jnp.asarray(W, store_jnp)}
-            del M, W
-        for ri, mode in _dense_copies:
-            rel = rd.relations[ri]
-            perm = [mode] + [d for d in range(rel.arity) if d != mode]
-            M, W = dg.build_dense_pair(
-                rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
-                [e.count for e in rel.entities], store_np, perm=perm)
-            arrays["dense"][f"r{ri}m{mode}"] = {
-                "M": jnp.asarray(M, store_jnp), "W": jnp.asarray(W, store_jnp)}
             del M, W
 
         for ri, rel in enumerate(rd.relations):
@@ -495,21 +485,16 @@ class MacauEngine(GibbsDriverMixin):
                     Lambda, prior_mean, contribs, es.n, gram_dtype=gd,
                     fuse_lambda=fuse)
                 lam_fused = Lambda if fuse else None
-            # dense-MXU contributions (ops/dense_gram.py): M @ Y matmuls
-            # instead of the per-observation gather
+            # dense-MXU contributions (ops/dense_gram.py): one canonical-
+            # tensor einsum per mode instead of the per-observation gather
             for alpha, partners, ri, mode, plan in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
                     mdt = gd if gd is not None else dtype
-                    key = (f"r{ri}" if plan.kind != "copy"
-                           else f"r{ri}m{mode}")
-                    Mst = arrays["dense"][key]["M"]
-                    Wst = arrays["dense"][key]["W"]
-                    if plan.kind == "last":
-                        Mst = Mst.reshape(-1, es.n)
-                        Wst = Wst.reshape(-1, es.n)
-                    Z = dense_hadamard(partners, mdt)
-                    P_d, b_d = dense_gram_contrib(Mst, Wst, Z,
-                                                  plan.kind, dtype)
+                    st = arrays["dense"][f"r{ri}"]
+                    dims = list(plan.partner_counts)
+                    dims.insert(mode, plan.n_focus)
+                    P_d, b_d = dense_gram_contrib(
+                        st["M"], st["W"], partners, mode, dims, dtype, mdt)
                     P_acc = P_acc + alpha * P_d
                     b_acc = b_acc + alpha * b_d
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,

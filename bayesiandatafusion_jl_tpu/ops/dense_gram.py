@@ -24,11 +24,13 @@ wins whenever density exceeds ~1/500 (ML-10M: 1.3%; ChEMBL IC50: 5.8%).
 Duplicate observations are summed into M/W at build time, which matches the
 gather path's per-observation accumulation exactly.
 
-Tensor relations (arity >= 3) contract the canonical dense value tensor
-``T [N_0, ..., N_{D-1}]`` along the partner axes: the first and last modes
-contract contiguous leading/trailing axes of the SAME stored array (XLA
-dot_general needs no transpose); middle modes need their own permuted copy,
-which the memory budget may decline (those modes then keep the gather path).
+Tensor relations (arity >= 3) contract the canonical dense tensor
+``T [N_0, ..., N_{D-1}]`` with ONE multi-operand einsum per mode,
+``P_m = einsum(T, Y_0, ..,skip m,.., Y_{D-1})`` — the Hadamard context
+factorizes through the outer product ((z o w)(z o w)^T = zz^T o ww^T), and
+opt_einsum's pairwise path contracts the largest axis first, so no
+[prod(N_d), K^2] Hadamard table is ever materialized and every mode shares
+the same stored array (no permuted copies).
 """
 from __future__ import annotations
 
@@ -56,9 +58,10 @@ _SPMM_S_PER_NNZ = 6.2e-9
 class DenseModePlan:
     """How one (relation, mode) contracts against the stored dense pair.
 
-    kind: 'first'  — contract trailing axes of the canonical [N_m, Np] view
-          'last'   — contract the leading axis ([Np, N_m] view)
-          'copy'   — own permuted [N_m, Np] matrices (middle modes)
+    kind: 'canonical' — multi-operand einsum against the shared canonical
+                        tensor (single-device engine; all modes share)
+          'copy'      — own focus-leading [N_m, prod] slab (sharded engine:
+                        each mode's pair is sharded by its own focus axis)
     """
 
     def __init__(self, kind: str, n_focus: int, partner_counts: Tuple[int, ...]):
@@ -69,14 +72,19 @@ class DenseModePlan:
 
 def estimate_times(n_focus: int, np_comb: int, nnz: int, K: int,
                    itemsize: int) -> Tuple[float, float]:
-    """(dense_seconds, gather_seconds) for one mode update."""
-    flops = 2.0 * n_focus * np_comb * (K * K)
+    """(dense_seconds, gather_seconds) for one mode update.
+
+    The dominant pairwise contraction of the mode einsum touches every
+    tensor element once against the K(K+1)/2-column packed triangle; the
+    rhs product streams W once more.
+    """
+    flops = 2.0 * n_focus * np_comb * (K * (K + 1) // 2)
     bytes_mw = n_focus * np_comb * itemsize                # each of M, W
-    bytes_y = 2.0 * np_comb * (K * K + K) * itemsize       # build + read Y
-    # M @ Y is compute-bound (arithmetic intensity ~K^2/itemsize >> ridge),
-    # so M's streaming hides under the MXU; W @ Z is bandwidth-bound.
+    # The Gramian matmul is compute-bound (arithmetic intensity ~K^2/
+    # itemsize >> ridge) so M's streaming hides under the MXU; W @ Z is
+    # bandwidth-bound.
     dense = (max(flops / _MXU_FLOPS, bytes_mw / _HBM_BPS)
-             + bytes_mw / _HBM_BPS + bytes_y / _HBM_BPS)
+             + bytes_mw / _HBM_BPS)
     gather = nnz * _GATHER_S_PER_OBS
     return dense, gather
 
@@ -119,19 +127,11 @@ def plan_dense_modes(
         for mode in range(len(shape)):
             n_focus = int(shape[mode])
             np_comb = total // n_focus
-            # Y materialization must stay sane (tiny-focus tensor modes
-            # would expand a huge Hadamard table)
-            if np_comb * (K * K + K) * itemsize > 2e9:
-                continue
             dense_t, gather_t = estimate_times(n_focus, np_comb, nnz, K,
                                                itemsize)
             if dense_gram is None and dense_t > 0.7 * gather_t:
                 continue
-            if per_mode_pairs:
-                kind = "copy"
-            else:
-                kind = ("first" if mode == 0
-                        else "last" if mode == len(shape) - 1 else "copy")
+            kind = "copy" if per_mode_pairs else "canonical"
             extra = pair_bytes if kind == "copy" else 0.0
             cands.append((gather_t - dense_t, ri, mode, kind, extra,
                           n_focus, shape))
@@ -214,17 +214,6 @@ def build_dense_pair(idx: np.ndarray, centered: np.ndarray,
     return M.reshape(n0, -1), W.reshape(n0, -1)
 
 
-def hadamard_expand(partner_factors: Sequence[jax.Array],
-                    dtype) -> jax.Array:
-    """Z [prod N_d, K]: row-major Hadamard table over the partner list
-    (nesting order matches build_dense_pair's linear index)."""
-    Z = partner_factors[0].astype(dtype)
-    for U in partner_factors[1:]:
-        U = U.astype(dtype)
-        Z = (Z[:, None, :] * U[None, :, :]).reshape(-1, Z.shape[-1])
-    return Z
-
-
 _tri_cache = {}
 
 
@@ -244,29 +233,41 @@ def _tri_maps(K: int):
 
 
 def dense_gram_contrib(
-    M: jax.Array,            # [n_focus, Np]  ('first'/'copy')  or [Np, n_focus] ('last')
-    W: jax.Array,
-    Z: jax.Array,            # [Np, K] partner Hadamard table
-    kind: str,
+    M: jax.Array,            # flat dense mask, reshapeable to `dims`
+    W: jax.Array,            # flat dense centered values, same layout
+    partner_factors: Sequence[jax.Array],  # [N_d, K] per non-focus axis,
+                                           # in the axis order of `dims`
+    focus_axis: int,
+    dims: Sequence[int],
     out_dtype,
+    op_dtype,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
-    P [n, K, K], b [n, K].
+    P [n_focus, K, K], b [n_focus, K].
 
-    The Gramian matmul runs on the packed upper triangle (Y_tri [Np,
-    K(K+1)/2]) and expands afterwards with a static take — P_ab and P_ba
-    are the same rounded value either way (commutative products, same
-    accumulation order), so results are bit-identical to the full form.
+    One multi-operand einsum per quantity: ``P = einsum(T, Y_d...)`` with
+    per-partner packed-triangle tables Y_d = U_d[:,iu] * U_d[:,ju]
+    (the Hadamard context factorizes: (z o w)(z o w)^T = zz^T o ww^T, and
+    the packed triangle commutes with the Hadamard).  opt_einsum's path
+    contracts the big axes first, so tensor modes never materialize a
+    [prod N_d, K^2] table and every mode shares the canonical array.
+    P_ab == P_ba bit-exactly (commutative products, same accumulation
+    order), so packing is exact, not an approximation.
     """
-    K = Z.shape[-1]
+    K = partner_factors[0].shape[-1]
     iu, ju, expand = _tri_maps(K)
-    Y = Z[:, iu] * Z[:, ju]                      # [Np, K(K+1)/2]
-    if kind == "last":
-        Pt = jnp.einsum("pn,pc->nc", M, Y, preferred_element_type=out_dtype)
-        b = jnp.einsum("pn,pk->nk", W, Z, preferred_element_type=out_dtype)
-    else:
-        Pt = jnp.einsum("np,pc->nc", M, Y, preferred_element_type=out_dtype)
-        b = jnp.einsum("np,pk->nk", W, Z, preferred_element_type=out_dtype)
+    dims = tuple(int(d) for d in dims)
+    T = M.reshape(dims)
+    Wt = W.reshape(dims)
+    letters = "abcdefgh"[:len(dims)]
+    parts = [d for d in range(len(dims)) if d != focus_axis]
+    spec = (letters + ","
+            + ",".join(letters[d] + "z" for d in parts)
+            + "->" + letters[focus_axis] + "z")
+    Us = [U.astype(op_dtype) for U in partner_factors]
+    Ys = [U[:, iu] * U[:, ju] for U in Us]
+    Pt = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
+    b = jnp.einsum(spec, Wt, *Us, preferred_element_type=out_dtype)
     n = Pt.shape[0]
     P = jnp.take(Pt, jnp.asarray(expand), axis=1)
     return P.reshape(n, K, K), b

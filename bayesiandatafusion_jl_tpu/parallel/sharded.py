@@ -44,8 +44,7 @@ from ..models.engine import (EntitySpec, GibbsDriverMixin, RelationSpec,
                              _auc, build_random_spec)
 from ..ops import layout as layout_mod
 from ..ops.cg import block_cg
-from ..ops.dense_gram import (dense_gram_contrib,
-                              hadamard_expand as dense_hadamard)
+from ..ops.dense_gram import dense_gram_contrib
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
                            predict_tuples)
@@ -715,8 +714,11 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                             for d in range(rs.arity) if d != mode]
                 plan = problem.dense_plans.get((ri, mode))
                 if plan is not None:
+                    dims_sh = (meta.n_loc,) + tuple(
+                        problem.ent_meta[rs.entity_ids[d]].n_pad
+                        for d in range(rs.arity) if d != mode)
                     dense_contribs.append(
-                        (rels[ri]["alpha"], partners, ri, mode))
+                        (rels[ri]["alpha"], partners, ri, mode, dims_sh))
                     continue
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
@@ -746,17 +748,17 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             P_acc, b_acc = assemble_precision(
                 Lambda, prior_mean, contribs, meta.n_loc, gram_dtype=gd,
                 fuse_lambda=fuse)
-        # dense-MXU contributions (ops/dense_gram.py): the local M/W slab
-        # against the replicated partner Hadamard table — row-sharded
-        # matmuls, no collectives (head rows accumulate fully on their
-        # owner; added after the ghost fold, like the single-device add)
-        for alpha, partners, ri, mode in dense_contribs:
+        # dense-MXU contributions (ops/dense_gram.py): the local focus-
+        # leading M/W slab against the replicated partner factors — row-
+        # sharded contractions, no collectives (head rows accumulate fully
+        # on their owner; added after the ghost fold, like the single-
+        # device add)
+        for alpha, partners, ri, mode, dims_sh in dense_contribs:
             with jax.named_scope(f"dense_r{ri}m{mode}"):
                 mdt = gd if gd is not None else dtype
                 sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
-                Z = dense_hadamard(partners, mdt)
-                P_d, b_d = dense_gram_contrib(sl["M"], sl["W"], Z,
-                                              "first", dtype)
+                P_d, b_d = dense_gram_contrib(sl["M"], sl["W"], partners,
+                                              0, dims_sh, dtype, mdt)
                 P_acc = P_acc + alpha * P_d
                 b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]

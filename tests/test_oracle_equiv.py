@@ -194,8 +194,9 @@ def test_dense_gram_equivalence():
 
 
 def test_dense_gram_tensor_equivalence():
-    """3-way tensor through the dense path exercises all three contraction
-    kinds: 'first' (mode 0), 'copy' (middle mode), 'last' (mode 2)."""
+    """3-way tensor through the dense path: every mode contracts the
+    shared canonical tensor with a multi-operand einsum (leading, middle,
+    and trailing focus axes)."""
     rng = np.random.default_rng(32)
     shape = (9, 8, 5)
     T = rng.standard_normal(shape)
@@ -207,7 +208,7 @@ def test_dense_gram_tensor_equivalence():
                       dense_gram=True, seed=32)
     eng_probe = MacauEngine(rd, cfg)
     kinds = {m: p.kind for (_, m), p in eng_probe.problem.dense_plans.items()}
-    assert kinds == {0: "first", 1: "copy", 2: "last"}
+    assert kinds == {0: "canonical", 1: "canonical", 2: "canonical"}
     _run_equiv(rd, cfg, n_sweeps=2)
 
 
