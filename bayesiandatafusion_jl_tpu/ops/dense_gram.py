@@ -255,7 +255,6 @@ def dense_gram_contrib(
     order), so packing is exact, not an approximation.
     """
     K = partner_factors[0].shape[-1]
-    iu, ju, expand = _tri_maps(K)
     dims = tuple(int(d) for d in dims)
     T = M.reshape(dims)
     Wt = W.reshape(dims)
@@ -265,9 +264,22 @@ def dense_gram_contrib(
             + ",".join(letters[d] + "z" for d in parts)
             + "->" + letters[focus_axis] + "z")
     Us = [U.astype(op_dtype) for U in partner_factors]
-    Ys = [U[:, iu] * U[:, ju] for U in Us]
-    Pt = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
+    # Triangle packing trades ~48% of the matmul FLOPs for an extra
+    # [n_focus, K^2] expand pass — a win only when the contraction is
+    # compute-bound (big relations), a loss on small bandwidth-bound ones
+    # (measured: fusion graph 10.2 -> 12.8 ms with unconditional packing).
+    total = float(np.prod(dims))
+    n_focus = dims[focus_axis]
+    flop_saving_s = total * K * K / _MXU_FLOPS
+    expand_cost_s = n_focus * K * K * 6.0 / _HBM_BPS
+    if flop_saving_s > 2.0 * expand_cost_s:
+        iu, ju, expand = _tri_maps(K)
+        Ys = [U[:, iu] * U[:, ju] for U in Us]
+        Pt = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
+        P = jnp.take(Pt, jnp.asarray(expand), axis=1)
+    else:
+        Ys = [(U[:, :, None] * U[:, None, :]).reshape(U.shape[0], K * K)
+              for U in Us]
+        P = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
     b = jnp.einsum(spec, Wt, *Us, preferred_element_type=out_dtype)
-    n = Pt.shape[0]
-    P = jnp.take(Pt, jnp.asarray(expand), axis=1)
-    return P.reshape(n, K, K), b
+    return P.reshape(n_focus, K, K), b
