@@ -41,8 +41,11 @@ def build_problem():
 def config():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
 
+    # dense_gram=True: the two-process run also covers sharded device_put
+    # of the dense M/W slabs and the dense feature operand
     return MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
-                       dtype="float64", use_ff=False, cg_tol=1e-12, seed=7)
+                       dtype="float64", use_ff=False, cg_tol=1e-12, seed=7,
+                       dense_gram=True)
 
 
 N_SWEEPS = 3
