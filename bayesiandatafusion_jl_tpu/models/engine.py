@@ -183,6 +183,17 @@ class CompiledProblem:
                     arrays["feat"][f"e{ei}"]["dense_X"] = \
                         jnp.asarray(Xd, fx_jnp)
                     del Xd
+                if (not use_ff and config.cg_nystrom_rank
+                        and nf >= 4 * config.cg_nystrom_rank):
+                    from ..ops.precond import build_nystrom
+                    Un, dn = build_nystrom(
+                        F.rows, F.cols, F.values(), F.shape,
+                        config.cg_nystrom_rank, seed=config.seed)
+                    arrays["feat"][f"e{ei}"]["nys_U"] = \
+                        jnp.asarray(Un, dtype)
+                    arrays["feat"][f"e{ei}"]["nys_d"] = \
+                        jnp.asarray(dn, dtype)
+                    del Un, dn
                 if use_ff:
                     try:
                         import scipy.sparse as sp
@@ -612,9 +623,15 @@ class MacauEngine(GibbsDriverMixin):
             # reported cg_resid is the exit-time TRUE residual.
             tol = cfg.cg_tol if self.dtype == jnp.float64 \
                 else max(cfg.cg_tol, 1e-5)
+            precond = None
+            if "nys_U" in feat:
+                from ..ops.precond import nystrom_apply
+                Un, dn = feat["nys_U"], feat["nys_d"]
+                precond = lambda r: nystrom_apply(Un, dn, lam, r)  # noqa: E731
             beta, it, resid = block_cg(matvec, rhs, ent["beta"],
                                        tol=tol, maxiter=cfg.cg_maxiter,
-                                       precond_diag=feat["colcount"] + lam)
+                                       precond_diag=feat["colcount"] + lam,
+                                       precond=precond)
             cg_diag = (it, resid)
 
         uhat = spmm_fwd(beta)

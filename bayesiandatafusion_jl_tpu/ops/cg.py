@@ -27,6 +27,7 @@ def block_cg(
     tol: float = 1e-6,
     maxiter: int = 200,
     precond_diag: jax.Array | None = None,  # [F] Jacobi preconditioner
+    precond: Callable[[jax.Array], jax.Array] | None = None,  # M^{-1} r
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Solve A x = rhs for SPD A, K columns at once.
 
@@ -50,6 +51,8 @@ def block_cg(
         (1.0 / precond_diag)[:, None].astype(dtype)
 
     def prec(r):
+        if precond is not None:   # e.g. Nystrom (ops/precond.py)
+            return precond(r)
         return r if minv is None else r * minv
 
     r0 = rhs - matvec(x0)

@@ -203,3 +203,49 @@ def test_bucketed_matvec_matches_dense():
     np.testing.assert_allclose(
         np.asarray(bucketed_spmm(mv["t"], F, jnp.asarray(U))),
         dense.T @ U, rtol=1e-10)
+
+
+def test_nystrom_precond_same_solution():
+    """Nystrom-preconditioned CG (ops/precond.py) must converge to the
+    SAME solution as Jacobi CG (preconditioning changes iterates, never
+    the solve, so the Gibbs draw is unchanged) within a comparable
+    iteration budget."""
+    import jax.numpy as jnp
+    from bayesiandatafusion_jl_tpu.ops.cg import block_cg
+    from bayesiandatafusion_jl_tpu.ops.precond import (build_nystrom,
+                                                       nystrom_apply)
+    rng = np.random.default_rng(0)
+    n, f, k = 1500, 1024, 4
+    # skewed column popularity (power law) like ECFP fingerprints
+    col_p = 1.0 / np.arange(1, f + 1) ** 0.9
+    col_p /= col_p.sum()
+    rows = np.repeat(np.arange(n), 30)
+    cols = rng.choice(f, size=len(rows), p=col_p)
+    key = np.unique(rows.astype(np.int64) * f + cols)
+    rows, cols = (key // f).astype(np.int32), (key % f).astype(np.int32)
+    vals = np.ones(len(rows))
+    import scipy.sparse as sp
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(n, f)).tocsr()
+    lam = 2.0
+    rhs = jnp.asarray(rng.standard_normal((f, k)))
+    Xj = jnp.asarray(X.todense())
+
+    def matvec(V):
+        return Xj.T @ (Xj @ V) + lam * V
+
+    colcount = jnp.asarray(np.asarray(X.power(2).sum(axis=0)).ravel())
+    x_j, it_j, res_j = block_cg(matvec, rhs, jnp.zeros_like(rhs),
+                                tol=1e-10, maxiter=500,
+                                precond_diag=colcount + lam)
+    U, d = build_nystrom(rows, cols, vals, (n, f), rank=128, seed=1)
+    Uj, dj = jnp.asarray(U), jnp.asarray(d)
+    x_n, it_n, res_n = block_cg(matvec, rhs, jnp.zeros_like(rhs),
+                                tol=1e-10, maxiter=500,
+                                precond=lambda r: nystrom_apply(Uj, dj,
+                                                                lam, r))
+    np.testing.assert_allclose(np.asarray(x_n), np.asarray(x_j),
+                               rtol=1e-6, atol=1e-6)
+    assert float(res_n) < 1e-8 and float(res_j) < 1e-8
+    # measured on this skewed system: comparable counts (85 vs 75); the
+    # knob is opt-in for spectra with a heavy correlated head
+    assert int(it_n) < int(it_j) * 1.5, (int(it_n), int(it_j))
