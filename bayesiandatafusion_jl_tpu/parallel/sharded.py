@@ -247,6 +247,20 @@ class ShardedProblem:
                 arrays_sh["feat"][f"e{ei}"]["colcount"] = jnp.asarray(
                     np.broadcast_to(F.col_sq_sums().astype(dtype),
                                     (n_dev, nf)).copy())
+                # dense row-sharded feature slab (ops/dense_gram.py
+                # use_dense_feat): X'(Xv) becomes two bandwidth-bound
+                # matmuls with a psum, replacing the issue-bound gathers
+                fx_jnp = (store_jnp if F.is_binary else jnp.dtype(dtype))
+                if dg.use_dense_feat(ent.count, nf, F.nnz,
+                                     jnp.dtype(fx_jnp).itemsize,
+                                     config.dense_gram):
+                    Xd = np.zeros((meta.n_pad, nf),
+                                  np.float32 if fx_jnp == jnp.bfloat16
+                                  else dtype)
+                    np.add.at(Xd, (rows_p, F.cols), fvals)
+                    arrays_sh["feat"][f"e{ei}"]["dense_X"] = jnp.asarray(
+                        Xd.reshape(n_dev, meta.n_loc, nf), fx_jnp)
+                    del Xd
                 if use_ff:
                     import scipy.sparse as sp
                     X = sp.coo_matrix(
@@ -876,10 +890,28 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
         return lxl.triangular_solve(L, z.T, left_side=True, lower=True,
                                     transpose_a=True).T
 
+    Xd = feat.get("dense_X")
+    if Xd is not None:
+        xdt = Xd.dtype
+
+        def spmm_fwd(V):
+            return jnp.einsum("nf,fk->nk", Xd, V.astype(xdt),
+                              preferred_element_type=dtype)
+
+        def spmm_t(V):
+            return psum(jnp.einsum("nf,nk->fk", Xd, V.astype(xdt),
+                                   preferred_element_type=dtype))
+    else:
+        def spmm_fwd(V):
+            return bucketed_spmm(feat["fwd"], n_loc, V)
+
+        def spmm_t(V):
+            return psum(bucketed_spmm(feat["t"], F, V))
+
     E1 = colored(e1_loc_raw)
     E2 = colored(e2_raw)
     resid = U_loc - mu[None, :] + E1
-    rhs = psum(bucketed_spmm(feat["t"], F, resid)) + jnp.sqrt(lam) * E2
+    rhs = spmm_t(resid) + jnp.sqrt(lam) * E2
 
     if es.use_ff:
         A = ftf + lam * jnp.eye(F, dtype=dtype)
@@ -889,8 +921,7 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
                                     transpose_a=True)
     else:
         def matvec(V):
-            XV = bucketed_spmm(feat["fwd"], n_loc, V)
-            return psum(bucketed_spmm(feat["t"], F, XV)) + lam * V
+            return spmm_t(spmm_fwd(V)) + lam * V
         tol = cfg.cg_tol if jnp.dtype(cfg.dtype) == jnp.float64 \
             else max(cfg.cg_tol, 1e-5)
         beta, it, resid = block_cg(matvec, rhs, ent["beta"],
@@ -898,5 +929,5 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
                                    precond_diag=feat["colcount"] + lam)
         cg_diag = (it, resid)
 
-    uhat_loc = bucketed_spmm(feat["fwd"], n_loc, beta)
+    uhat_loc = spmm_fwd(beta)
     return beta, uhat_loc, cg_diag
