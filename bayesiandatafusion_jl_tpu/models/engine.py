@@ -173,6 +173,12 @@ class CompiledProblem:
                 # features are exact in bf16; real-valued stay in the
                 # compute dtype so the CG operator is unchanged
                 fx_jnp = store_jnp if F.is_binary else jnp.dtype(dtype)
+                if F.is_binary and store_jnp == jnp.bfloat16:
+                    # binary X is exact in any dtype; int8 halves the HBM
+                    # stream of the bandwidth-bound CG matvec (the int8 ->
+                    # bf16 convert fuses into the dot: 4.12 -> 2.95 ms per
+                    # X'(Xv) at 15k x 32k on v5e)
+                    fx_jnp = jnp.int8
                 if dg.use_dense_feat(ent.count, nf, F.nnz,
                                      jnp.dtype(fx_jnp).itemsize,
                                      config.dense_gram):
@@ -183,12 +189,13 @@ class CompiledProblem:
                     arrays["feat"][f"e{ei}"]["dense_X"] = \
                         jnp.asarray(Xd, fx_jnp)
                     del Xd
-                if (not use_ff and config.cg_nystrom_rank
-                        and nf >= 4 * config.cg_nystrom_rank):
+                from ..ops.precond import resolve_nystrom_rank
+                nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
+                if not use_ff and nys_rank and nf >= 4 * nys_rank:
                     from ..ops.precond import build_nystrom
                     Un, dn = build_nystrom(
                         F.rows, F.cols, F.values(), F.shape,
-                        config.cg_nystrom_rank, seed=config.seed)
+                        nys_rank, seed=config.seed)
                     arrays["feat"][f"e{ei}"]["nys_U"] = \
                         jnp.asarray(Un, dtype)
                     arrays["feat"][f"e{ei}"]["nys_d"] = \
@@ -587,14 +594,16 @@ class MacauEngine(GibbsDriverMixin):
         if Xd is not None:
             # dense feature products (ops/dense_gram.py use_dense_feat):
             # bandwidth-bound streams instead of issue-bound gathers
-            xdt = Xd.dtype
+            xdt = jnp.bfloat16 if Xd.dtype == jnp.int8 else Xd.dtype
 
             def spmm_fwd(V):
-                return jnp.einsum("nf,fk->nk", Xd, V.astype(xdt),
+                return jnp.einsum("nf,fk->nk", Xd.astype(xdt),
+                                  V.astype(xdt),
                                   preferred_element_type=dtype)
 
             def spmm_t(V):
-                return jnp.einsum("nf,nk->fk", Xd, V.astype(xdt),
+                return jnp.einsum("nf,nk->fk", Xd.astype(xdt),
+                                  V.astype(xdt),
                                   preferred_element_type=dtype)
         else:
             def spmm_fwd(V):

@@ -120,7 +120,7 @@ class ShardedProblem:
                                      "train": {}, "rowmask": {},
                                      "acc_plan": {}, "headmap": {},
                                      "dense": {}}
-        arrays_rep: Dict[str, Any] = {"ftf": {}}
+        arrays_rep: Dict[str, Any] = {"ftf": {}, "nys": {}}
         self.test_meta: Dict[int, Dict[str, Any]] = {}
         host_inst: Dict[str, List[List[np.ndarray]]] = {}  # key -> [dev][bucket]
 
@@ -251,6 +251,10 @@ class ShardedProblem:
                 # use_dense_feat): X'(Xv) becomes two bandwidth-bound
                 # matmuls with a psum, replacing the issue-bound gathers
                 fx_jnp = (store_jnp if F.is_binary else jnp.dtype(dtype))
+                if F.is_binary and store_jnp == jnp.bfloat16:
+                    # exact 0/1 in int8: halves the per-iteration HBM
+                    # stream of the CG matvec (see models/engine.py)
+                    fx_jnp = jnp.int8
                 if dg.use_dense_feat(ent.count, nf, F.nnz,
                                      jnp.dtype(fx_jnp).itemsize,
                                      config.dense_gram):
@@ -261,6 +265,20 @@ class ShardedProblem:
                     arrays_sh["feat"][f"e{ei}"]["dense_X"] = jnp.asarray(
                         Xd.reshape(n_dev, meta.n_loc, nf), fx_jnp)
                     del Xd
+                from ..ops.precond import resolve_nystrom_rank
+                nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
+                if not use_ff and nys_rank and nf >= 4 * nys_rank:
+                    # replicated Nystrom preconditioner (ops/precond.py):
+                    # X'X is a global (psum-reduced) operator, so the
+                    # factorization is device-independent and rides the
+                    # P() replicated specs like ftf
+                    from ..ops.precond import build_nystrom
+                    Un, dn = build_nystrom(
+                        F.rows, F.cols, F.values(), F.shape,
+                        nys_rank, seed=config.seed)
+                    arrays_rep["nys"][f"e{ei}"] = {
+                        "U": jnp.asarray(Un, dtype),
+                        "d": jnp.asarray(dn, dtype)}
                 if use_ff:
                     import scipy.sparse as sp
                     X = sp.coo_matrix(
@@ -688,7 +706,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         if es.has_features:
             beta, uhat_loc, cg_diag = _sample_beta_sharded(
                 problem, ei, es, feats[f"e{ei}"],
-                arrays_rep["ftf"].get(f"e{ei}"), ent, U_loc,
+                arrays_rep["ftf"].get(f"e{ei}"),
+                arrays_rep["nys"].get(f"e{ei}"), ent, U_loc,
                 rnd_sh[f"e{ei}.beta_e1"], rnd_rep[f"e{ei}.beta_e2"], psum)
             ent["beta"] = beta
             uhat_sh[f"e{ei}"] = uhat_loc
@@ -870,7 +889,7 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
     return new_state_rep, new_state_sh, metrics
 
 
-def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
+def _sample_beta_sharded(problem, ei, es, feat, ftf, nys, ent, U_loc,
                          e1_loc_raw, e2_raw, psum):
     """Sharded noise-injected beta draw (SURVEY §4.4): the feature matrix
     is row-sharded by instance owner as per-device BUCKETED layouts
@@ -892,14 +911,15 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
 
     Xd = feat.get("dense_X")
     if Xd is not None:
-        xdt = Xd.dtype
+        xdt = jnp.bfloat16 if Xd.dtype == jnp.int8 else Xd.dtype
 
         def spmm_fwd(V):
-            return jnp.einsum("nf,fk->nk", Xd, V.astype(xdt),
+            return jnp.einsum("nf,fk->nk", Xd.astype(xdt), V.astype(xdt),
                               preferred_element_type=dtype)
 
         def spmm_t(V):
-            return psum(jnp.einsum("nf,nk->fk", Xd, V.astype(xdt),
+            return psum(jnp.einsum("nf,nk->fk", Xd.astype(xdt),
+                                   V.astype(xdt),
                                    preferred_element_type=dtype))
     else:
         def spmm_fwd(V):
@@ -924,9 +944,15 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, ent, U_loc,
             return spmm_t(spmm_fwd(V)) + lam * V
         tol = cfg.cg_tol if jnp.dtype(cfg.dtype) == jnp.float64 \
             else max(cfg.cg_tol, 1e-5)
+        precond = None
+        if nys is not None:
+            from ..ops.precond import nystrom_apply
+            precond = lambda r: nystrom_apply(  # noqa: E731
+                nys["U"], nys["d"], lam, r)
         beta, it, resid = block_cg(matvec, rhs, ent["beta"],
                                    tol=tol, maxiter=cfg.cg_maxiter,
-                                   precond_diag=feat["colcount"] + lam)
+                                   precond_diag=feat["colcount"] + lam,
+                                   precond=precond)
         cg_diag = (it, resid)
 
     uhat_loc = spmm_fwd(beta)

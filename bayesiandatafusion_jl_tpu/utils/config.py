@@ -76,12 +76,11 @@ class MacauConfig:
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
     # Nystrom-preconditioned CG (ops/precond.py): rank of the one-time
-    # randomized X'X factorization.  0 (default) = plain Jacobi.
-    # Measured on skewed synthetic fingerprints: only ~15% fewer
-    # iterations than Jacobi alone — opt in when the real feature
-    # spectrum has a heavy correlated head.  Auto-skipped when
-    # F < 4x the rank.
-    cg_nystrom_rank: int = 0
+    # randomized X'X factorization.  None (default) = auto: rank 512 when
+    # the CG path runs with F >= 8192 (ChEMBL bench shape: 32 -> 21
+    # iterations, 61.3 -> 46.3 ms/sweep on v5e; the one-time host build
+    # is seconds).  0 = plain Jacobi.  Auto-skipped when F < 4x the rank.
+    cg_nystrom_rank: Optional[int] = None
 
     # --- TPU layout (no reference counterpart; SURVEY §9.0) ---
     bucket_widths: Sequence[int] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)

@@ -262,6 +262,38 @@ def test_bf16_gramian_close_to_f32():
     assert abs(r32 - rb) < 0.05, (r32, rb)
 
 
+def test_int8_feature_slab_close_to_f32():
+    """Binary side info + gram_dtype=bfloat16 stores the dense feature
+    operand as int8 (exact 0/1; the convert fuses into the CG matvec) and
+    must track the f32 gather path."""
+    rng = np.random.default_rng(21)
+    n1, n2, k, f = 70, 40, 4, 50
+    feat = (rng.random((n1, f)) < 0.2).astype(np.float64)
+    beta = rng.standard_normal((f, k)) * 0.3
+    U = feat @ beta + 0.3 * rng.standard_normal((n1, k))
+    V = rng.standard_normal((n2, k))
+    R = U @ V.T + 0.1 * rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.6
+    df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], (n1, n2))
+
+    def run(gd, dense):
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 150, seed=3)
+        cfg = MacauConfig(num_latent=k, burnin=8, psamples=8, verbose=False,
+                          dtype="float32", gram_dtype=gd, dense_gram=dense,
+                          use_ff=False, seed=17)
+        eng = MacauEngine(rd, cfg)
+        if dense:
+            import jax.numpy as jnp
+            xd = eng.problem.arrays["feat"]["e0"]["dense_X"]
+            assert xd.dtype == (jnp.int8 if gd == "bfloat16"
+                                else jnp.float32), xd.dtype
+        return eng.run()["RMSE"]
+
+    r32, ri8 = run(None, False), run("bfloat16", True)
+    assert abs(r32 - ri8) < 0.05, (r32, ri8)
+
+
 def test_config_yaml_roundtrip(tmp_path):
     cfg = MacauConfig(num_latent=16, burnin=7, clamp=(1.0, 5.0),
                       gram_dtype="bfloat16", bucket_widths=(8, 64))

@@ -102,6 +102,24 @@ def test_sharded_matches_single_macau_cg_realvalued():
     _compare_engines(build, cfg, n_sweeps=3, rtol=1e-6)
 
 
+def test_sharded_matches_single_macau_cg_nystrom():
+    """Nystrom-preconditioned CG: the replicated preconditioner must leave
+    sharded == single-device parity intact (same seed => same U, d)."""
+    rng = np.random.default_rng(23)
+    feat = (rng.random((41, 23)) < 0.25).astype(np.float64)
+    df = _lowrank(rng, 41, 29)
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 40, seed=3)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", use_ff=False, cg_tol=1e-12,
+                      cg_nystrom_rank=4, seed=7)
+    eng = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert "e0" in eng.problem.arrays_rep["nys"]
+    _compare_engines(build, cfg, n_sweeps=3, rtol=1e-6)
+
+
 def test_sharded_matches_single_tensor_multirel_alpha():
     rng = np.random.default_rng(3)
     shape = (19, 13, 5)
