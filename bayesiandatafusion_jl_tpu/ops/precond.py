@@ -42,12 +42,16 @@ def build_nystrom(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
 
 def resolve_nystrom_rank(cfg_rank, num_features: int) -> int:
-    """Resolve MacauConfig.cg_nystrom_rank: None = auto (rank 512 on CG
-    problems with F >= 8192 — measured 32 -> 21 iterations and -24%
-    sweep time at the ChEMBL bench shape), 0 = off, int = that rank.
-    Callers additionally skip the build when F < 4x the rank."""
+    """Resolve MacauConfig.cg_nystrom_rank: None = auto (rank 1024 for
+    F >= 16384, rank 512 for F >= 8192 — at the ChEMBL bench shape,
+    15k x 32k ECFP with int8 slabs, rank 1024 cuts CG 32 -> 21 iterations
+    and the sweep 61.3 -> 46.3 ms; rank 512 gives 24 iters / 47.9 ms),
+    0 = off, int = that rank.  Callers additionally skip the build when
+    F < 4x the rank."""
     if cfg_rank is not None:
         return int(cfg_rank)
+    if num_features >= 16384:
+        return 1024
     return 512 if num_features >= 8192 else 0
 
 
