@@ -305,50 +305,93 @@ class GibbsDriverMixin:
         begin = getattr(self, "_begin_run", None)
         if begin is not None:
             begin()
+        spd = max(getattr(cfg, "sweeps_per_dispatch", 1), 1)
+        batch_fn = getattr(self, "_do_sweeps_batch", None)
+        every = max(cfg.metrics_every, 1)
         try:
-            for s in range(sweep_offset, total):
-                t0 = time.perf_counter()
-                skey = sweep_key(key, s + 1)
-                accumulate = 1.0 if s >= cfg.burnin else 0.0
+            s = sweep_offset
+            while s < total:
                 trace_this = (cfg.trace_dir is not None
                               and s == min(2, total - 1))
-                if trace_this:
-                    jax.profiler.start_trace(cfg.trace_dir)
-                state, metrics = self._do_sweep(
-                    state, skey, accumulate, tag=s,
-                    key_fn=lambda i: sweep_key(key, i + 1))
-                fetch = ((s + 1) % max(cfg.metrics_every, 1) == 0
-                         or s == total - 1 or cfg.verbose
-                         or callback is not None or log_f is not None
-                         or trace_this)
-                metrics = ({k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-                           if fetch else {})
+                n = 1
+                if spd > 1 and batch_fn is not None and not trace_this:
+                    n = min(spd, self._chunk_limit(s, total) - s)
+                t0 = time.perf_counter()
+                if n == 1:
+                    if trace_this:
+                        jax.profiler.start_trace(cfg.trace_dir)
+                    skey = sweep_key(key, s + 1)
+                    accumulate = 1.0 if s >= cfg.burnin else 0.0
+                    state, mstack = self._do_sweep(
+                        state, skey, accumulate, tag=s,
+                        key_fn=lambda i: sweep_key(key, i + 1))
+                    pick = lambda v, j: v  # noqa: E731
+                else:
+                    # one lax.scan program over n sweeps — a single XLA
+                    # dispatch; metrics come back stacked [n]
+                    state, mstack = batch_fn(state, key, s, n)
+                    pick = lambda v, j: v[j]  # noqa: E731
+                fetch_js = {
+                    j for j in range(n)
+                    if ((s + j + 1) % every == 0 or s + j == total - 1
+                        or cfg.verbose or callback is not None
+                        or log_f is not None or trace_this)}
+                m_host = jax.device_get(mstack) if fetch_js else None
                 if trace_this:
                     jax.profiler.stop_trace()
-                dt = time.perf_counter() - t0
-                phase = "burnin" if s < cfg.burnin else "sample"
-                metrics["time"] = dt
-                history.append(metrics)
-                if log_f is not None:
-                    import json
-                    log_f.write(json.dumps(
-                        {"sweep": s + 1, "phase": phase, **metrics}) + "\n")
-                    log_f.flush()
-                if cfg.output_prefix is not None and s >= cfg.burnin:
-                    self._save_sample(cfg.output_prefix, s - cfg.burnin,
-                                      state)
-                if (cfg.checkpoint_every and cfg.checkpoint_path
-                        and (s + 1) % cfg.checkpoint_every == 0):
-                    self.save_state(cfg.checkpoint_path, state, s + 1)
-                if callback is not None:
-                    callback(s, phase, metrics, dt)
-                if cfg.verbose:
-                    self._print_sweep(s, phase, metrics)
+                dt = (time.perf_counter() - t0) / n
+                for j in range(n):
+                    i = s + j
+                    metrics = ({k: float(pick(v, j))
+                                for k, v in m_host.items()}
+                               if j in fetch_js else {})
+                    phase = "burnin" if i < cfg.burnin else "sample"
+                    metrics["time"] = dt
+                    history.append(metrics)
+                    if log_f is not None:
+                        import json
+                        log_f.write(json.dumps(
+                            {"sweep": i + 1, "phase": phase,
+                             **metrics}) + "\n")
+                        log_f.flush()
+                    if cfg.output_prefix is not None and i >= cfg.burnin:
+                        # chunks are size 1 in the psamples phase when
+                        # output_prefix is set (_chunk_limit), so `state`
+                        # here is sweep i's state
+                        self._save_sample(cfg.output_prefix,
+                                          i - cfg.burnin, state)
+                    if (cfg.checkpoint_every and cfg.checkpoint_path
+                            and (i + 1) % cfg.checkpoint_every == 0):
+                        self.save_state(cfg.checkpoint_path, state, i + 1)
+                    if callback is not None:
+                        callback(i, phase, metrics, dt)
+                    if cfg.verbose:
+                        self._print_sweep(i, phase, metrics)
+                s += n
         finally:
             if log_f is not None:
                 log_f.close()
         return self._results(state, history)
+
+    def _chunk_limit(self, s: int, total: int) -> int:
+        """Exclusive upper bound for a scan chunk starting at sweep `s`:
+        chunks must END at any sweep whose host work needs that sweep's
+        on-host state (checkpoint save, posterior-sample dump, profiler
+        trace)."""
+        cfg = self.config
+        end = total
+        if cfg.trace_dir is not None:
+            t = min(2, total - 1)
+            if t > s:
+                end = min(end, t)  # stop before the traced sweep
+        ce = cfg.checkpoint_every
+        if ce and cfg.checkpoint_path:
+            nxt = s + ((ce - ((s + 1) % ce)) % ce)  # first i>=s, (i+1)%ce==0
+            end = min(end, nxt + 1)
+        if cfg.output_prefix is not None:
+            # every sweep >= burnin dumps a posterior sample
+            end = min(end, cfg.burnin if s < cfg.burnin else s + 1)
+        return max(end, s + 1)
 
     def _print_sweep(self, s, phase, metrics):
         """Reference-style verbose line (SURVEY §4.6): sweep, phase,
@@ -391,6 +434,7 @@ class MacauEngine(GibbsDriverMixin):
         self._sweep_jit = jax.jit(self._sweep_keyed, donate_argnums=(1,))
         self._sweep_randoms_jit = jax.jit(self._sweep_with_randoms,
                                           donate_argnums=(1,))
+        self._batch_jits: Dict[int, Any] = {}  # chunk size -> scan jit
 
     # -- state ---------------------------------------------------------------
     def init_state(self, key: Optional[jax.Array] = None) -> Dict[str, Any]:
@@ -651,6 +695,29 @@ class MacauEngine(GibbsDriverMixin):
     # -- driver hooks (GibbsDriverMixin) -------------------------------------
     def _do_sweep(self, state, skey, accumulate, **_lookahead):
         return self._sweep_jit(self.problem.arrays, state, skey, accumulate)
+
+    def _do_sweeps_batch(self, state, base_key, start: int, n: int):
+        """Run sweeps [start, start+n) as ONE lax.scan program (config
+        sweeps_per_dispatch > 1): removes per-sweep dispatch latency;
+        returns (state, metrics stacked along a leading [n] axis).  Same
+        per-sweep keys/accumulate flags as the single-sweep path, so
+        results are bit-identical."""
+        fn = self._batch_jits.get(n)
+        if fn is None:
+            burnin = self.config.burnin
+
+            def scan_fn(arrays, st, key, start):
+                def body(st, s):
+                    skey = sweep_key(key, s + 1)
+                    acc = (s >= burnin).astype(self.dtype)
+                    return self._sweep_keyed(arrays, st, skey, acc)
+                return jax.lax.scan(body, st,
+                                    start + jnp.arange(n, dtype=jnp.int32))
+
+            fn = jax.jit(scan_fn, donate_argnums=(1,))
+            self._batch_jits[n] = fn
+        return fn(self.problem.arrays, state, base_key,
+                  jnp.asarray(start, jnp.int32))
 
     def _save_sample(self, prefix: str, psample_idx: int, state) -> None:
         """Dump one posterior sample (U/mu/Lambda/beta/lambda_beta/alpha)

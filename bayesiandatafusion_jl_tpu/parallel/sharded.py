@@ -472,6 +472,8 @@ class ShardedMacauEngine(GibbsDriverMixin):
 
         self._sweep_jit = jax.jit(keyed, donate_argnums=(2, 3))
         self._shmap = shmap
+        self._keyed = keyed
+        self._batch_jits = {}  # chunk size -> scan jit
         # run() dispatches the draws as a SEPARATE jit: fusing draw+split
         # into the shard_map program costs ~9 ms/sweep of XLA scheduling
         # pathology at ML-10M (77.0 fused vs 67.9 + 1.9 split; plain
@@ -584,6 +586,34 @@ class ShardedMacauEngine(GibbsDriverMixin):
             p.arrays_sh, p.arrays_rep, state_rep, state_sh, rnd_sh,
             rnd_rep, accumulate)
         return (state_rep, state_sh), metrics
+
+    def _do_sweeps_batch(self, state, base_key, start: int, n: int):
+        """Scan-batched multi-sweep dispatch (config sweeps_per_dispatch).
+
+        Draws happen inside the scan body (the separate-program draw
+        dispatch of `_do_sweep` cannot cross a scan boundary); per-sweep
+        streams/flags are identical to the single-sweep path."""
+        fn = self._batch_jits.get(n)
+        if fn is None:
+            burnin = self.config.burnin
+            keyed = self._keyed
+
+            def scan_fn(arrays_sh, arrays_rep, st, key, start):
+                def body(st, s):
+                    skey = sweep_key(key, s + 1)
+                    acc = (s >= burnin).astype(self.dtype)
+                    state_rep, state_sh = st
+                    sr, ss, m = keyed(arrays_sh, arrays_rep, state_rep,
+                                      state_sh, skey, acc)
+                    return (sr, ss), m
+                return jax.lax.scan(body, st,
+                                    start + jnp.arange(n, dtype=jnp.int32))
+
+            fn = jax.jit(scan_fn, donate_argnums=(2,))
+            self._batch_jits[n] = fn
+        p = self.problem
+        return fn(p.arrays_sh, p.arrays_rep, state, base_key,
+                  jnp.asarray(start, jnp.int32))
 
     def _save_sample(self, prefix: str, psample_idx: int, state) -> None:
         """Posterior-sample dump in ORIGINAL instance order so saved

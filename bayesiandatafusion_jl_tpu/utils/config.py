@@ -102,6 +102,12 @@ class MacauConfig:
     # the reference behavior). On high-latency device links each fetch
     # syncs the pipeline; raise this for throughput runs.
     metrics_every: int = 1
+    # Dispatch up to N sweeps as ONE on-device lax.scan program (1 = one
+    # XLA dispatch per sweep, the default).  Removes per-dispatch host
+    # latency for small problems; per-sweep metrics still come back for
+    # every sweep (stacked, one transfer per chunk).  Chunks break at
+    # sweeps that need host-side state (checkpoint/output_prefix/trace).
+    sweeps_per_dispatch: int = 1
 
     # --- aux subsystems (SURVEY §7) ---
     # jsonl structured per-sweep records (§7.5); None = off

@@ -55,15 +55,36 @@ def _warm_async():
 def _time_engine(eng, sweeps, label):
     """Compile + run `sweeps` timed sweeps; returns (dt/sweep, metrics).
 
-    Forces a real D2H to end timing (block_until_ready can return early
-    on the axon relay).
+    Uses the scan-batched dispatch path (config.sweeps_per_dispatch > 1,
+    the same chunks run() would issue) when configured; per-sweep results
+    are bit-identical either way.  Forces a real D2H to end timing
+    (block_until_ready can return early on the axon relay).
     """
     import jax
 
     from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
     key = jax.random.key(eng.config.seed)
     state = eng.init_state(jax.random.fold_in(key, 0))
+    spd = max(getattr(eng.config, "sweeps_per_dispatch", 1), 1)
     t0 = time.time()
+    if spd > 1:
+        # compile chunk (not timed), then timed chunks
+        n0 = min(spd, sweeps)
+        state, mstack = eng._do_sweeps_batch(state, key, 0, n0)
+        m0 = next(k for k in mstack if k.endswith("rmse_avg"))
+        _ = float(mstack[m0][-1])
+        print(f"# {label}: first chunk ({n0} sweeps, compile+run) "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        s = n0
+        while s < n0 + sweeps:
+            n = min(spd, n0 + sweeps - s)
+            state, mstack = eng._do_sweeps_batch(state, key, s, n)
+            s += n
+        _ = float(mstack[m0][-1])
+        dt = (time.time() - t0) / sweeps
+        return dt, {k: float(v[-1]) for k, v in
+                    jax.device_get(mstack).items()}
     state, metrics = eng._do_sweep(state, sweep_key(key, 1), 0.0)
     jax.block_until_ready(metrics)
     print(f"# {label}: first sweep (compile+run) {time.time()-t0:.1f}s",
@@ -109,7 +130,8 @@ def _ml_engine(variant, sweeps, sharded=False):
     rd.assign_to_test(0, min(100_000, df.nnz // 10), seed=7)
     cfg = MacauConfig(num_latent=32, burnin=sweeps, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
-                      gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS)
+                      gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
+                      sweeps_per_dispatch=sweeps)
     if sharded:
         from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
         from bayesiandatafusion_jl_tpu.parallel.sharded import (
@@ -144,7 +166,8 @@ def bench_chembl():
     rd.assign_to_test(0, 30_000, seed=7)
     cfg = MacauConfig(num_latent=32, burnin=20, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16",
-                      use_ff=False, cg_maxiter=100, seed=42)
+                      use_ff=False, cg_maxiter=100, seed=42,
+                      sweeps_per_dispatch=20)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 20, "chembl")
@@ -174,7 +197,7 @@ def bench_tensor():
     rd.assign_to_test(0, 100_000, seed=7)
     cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16", seed=42,
-                      bucket_widths=WIDTHS)
+                      bucket_widths=WIDTHS, sweeps_per_dispatch=15)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 15, "tensor")
@@ -214,7 +237,7 @@ def bench_fusion():
     rd.assign_to_test("ic50", 100_000, seed=7)
     cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16", seed=42,
-                      bucket_widths=WIDTHS)
+                      bucket_widths=WIDTHS, sweeps_per_dispatch=15)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 15, "fusion")

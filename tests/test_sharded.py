@@ -330,3 +330,25 @@ def test_sharded_dense_gram_tensor_multirel():
     cfg = MacauConfig(num_latent=2, burnin=1, psamples=2, verbose=False,
                       dtype="float64", dense_gram=True, seed=13)
     _compare_engines(build, cfg, n_sweeps=3)
+
+
+def test_sharded_sweeps_per_dispatch_bit_identical():
+    """Scan-batched dispatch on the sharded engine: bit-identical to its
+    own per-sweep path."""
+    rng = np.random.default_rng(31)
+    df = _lowrank(rng, 48, 36)
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 40, seed=7)
+        return rd
+
+    def run(spd):
+        cfg = MacauConfig(num_latent=3, burnin=4, psamples=5, verbose=False,
+                          dtype="float32", seed=13, metrics_every=3,
+                          sweeps_per_dispatch=spd)
+        return ShardedMacauEngine(build(), cfg, mesh=data_mesh()).run()
+
+    r1, r6 = run(1), run(6)
+    a = np.asarray(jax.device_get(r1["state"][0]["ent"][0]["U"]))
+    b = np.asarray(jax.device_get(r6["state"][0]["ent"][0]["U"]))
+    assert np.array_equal(a, b)
