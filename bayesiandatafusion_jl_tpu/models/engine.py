@@ -56,6 +56,9 @@ class EntitySpec:
     num_features: int
     use_ff: bool           # direct X'X path vs blocked CG (SURVEY §4.4)
     feat_nnz: int
+    # "ff" | "cg" | "dual" (ops/dual.py Woodbury exact solve); use_ff is
+    # kept as the derived boolean for back-compat
+    solver: str = "cg"
 
     @property
     def has_features(self) -> bool:
@@ -158,6 +161,7 @@ class CompiledProblem:
         for ei, ent in enumerate(rd.entities):
             nf = ent.num_features
             use_ff = False
+            solver = "cg"
             if nf:
                 pref = ent.use_ff if ent.use_ff is not None else config.use_ff
                 use_ff = (nf <= config.ff_threshold) if pref is None else bool(pref)
@@ -189,9 +193,21 @@ class CompiledProblem:
                     arrays["feat"][f"e{ei}"]["dense_X"] = \
                         jnp.asarray(Xd, fx_jnp)
                     del Xd
+                from ..ops import dual as dual_mod
+                solver = "ff" if use_ff else "cg"
+                if not use_ff and dual_mod.use_dual(
+                        config.beta_solver, ent.count, nf,
+                        dtype.itemsize, config.dual_budget_gb):
+                    solver = "dual"
+                    G = dual_mod.build_dual_gram(
+                        F.rows, F.cols, F.values(), F.shape)
+                    Qd, dd = dual_mod.dual_eig(G, dtype)
+                    arrays["feat"][f"e{ei}"]["dual_Q"] = jnp.asarray(Qd)
+                    arrays["feat"][f"e{ei}"]["dual_d"] = jnp.asarray(dd)
+                    del G, Qd, dd
                 from ..ops.precond import resolve_nystrom_rank
                 nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
-                if not use_ff and nys_rank and nf >= 4 * nys_rank:
+                if solver == "cg" and nys_rank and nf >= 4 * nys_rank:
                     from ..ops.precond import build_nystrom
                     Un, dn = build_nystrom(
                         F.rows, F.cols, F.values(), F.shape,
@@ -213,7 +229,8 @@ class CompiledProblem:
                     arrays["ftf"][f"e{ei}"] = jnp.asarray(ftf)
             self.entity_specs.append(EntitySpec(
                 name=ent.name, n=ent.count, num_features=nf,
-                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0)))
+                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0),
+                solver=(solver if nf else "cg")))
 
         # accumulation plans: static first-row gather + overflow per entity,
         # in the exact contribs order the sweep uses (ops/gramian.py)
@@ -667,6 +684,16 @@ class MacauEngine(GibbsDriverMixin):
             y = lxl.triangular_solve(Lf, rhs, left_side=True, lower=True)
             beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
                                         transpose_a=True)
+        elif es.solver == "dual":
+            # Woodbury exact solve on the cached XX' eigendecomposition
+            # (ops/dual.py) — no CG iterations at all
+            from ..ops.dual import dual_solve
+            beta = dual_solve(feat["dual_Q"], feat["dual_d"], lam, rhs,
+                              spmm_fwd, spmm_t)
+            for _ in range(cfg.dual_refine):
+                r = rhs - (spmm_t(spmm_fwd(beta)) + lam * beta)
+                beta = beta + dual_solve(feat["dual_Q"], feat["dual_d"],
+                                         lam, r, spmm_fwd, spmm_t)
         else:
             def matvec(V):
                 return spmm_t(spmm_fwd(V)) + lam * V

@@ -221,6 +221,7 @@ class ShardedProblem:
             meta = self.ent_meta[ei]
             nf = ent.num_features
             use_ff = False
+            solver = "cg"
             if nf:
                 pref = ent.use_ff if ent.use_ff is not None else config.use_ff
                 use_ff = (nf <= config.ff_threshold) if pref is None \
@@ -265,9 +266,30 @@ class ShardedProblem:
                     arrays_sh["feat"][f"e{ei}"]["dense_X"] = jnp.asarray(
                         Xd.reshape(n_dev, meta.n_loc, nf), fx_jnp)
                     del Xd
+                from ..ops import dual as dual_mod
+                solver = "ff" if use_ff else "cg"
+                if not use_ff and dual_mod.use_dual(
+                        config.beta_solver, ent.count, nf,
+                        dtype.itemsize, config.dual_budget_gb):
+                    # Woodbury exact solver: Q row-sharded by instance
+                    # owner (same permutation as U), d replicated.  The
+                    # eigendecomposition is over the ORIGINAL-order G so
+                    # single-device and sharded runs share one eigenbasis
+                    # (parity at 1e-8).
+                    solver = "dual"
+                    G = dual_mod.build_dual_gram(F.rows, F.cols, fvals,
+                                                 F.shape)
+                    Qd, dd = dual_mod.dual_eig(G, dtype)
+                    Qp = np.zeros((meta.n_pad, meta.n), Qd.dtype)
+                    Qp[:meta.n] = Qd[self.perms[ei]]
+                    arrays_sh["feat"][f"e{ei}"]["dual_Q"] = jnp.asarray(
+                        Qp.reshape(n_dev, meta.n_loc, meta.n))
+                    arrays_sh["feat"][f"e{ei}"]["dual_d"] = jnp.asarray(
+                        np.broadcast_to(dd, (n_dev, meta.n)).copy())
+                    del G, Qd, Qp
                 from ..ops.precond import resolve_nystrom_rank
                 nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
-                if not use_ff and nys_rank and nf >= 4 * nys_rank:
+                if solver == "cg" and nys_rank and nf >= 4 * nys_rank:
                     # replicated Nystrom preconditioner (ops/precond.py):
                     # X'X is a global (psum-reduced) operator, so the
                     # factorization is device-independent and rides the
@@ -288,7 +310,8 @@ class ShardedProblem:
                         np.asarray((X.T @ X).todense(), dtype))
             self.entity_specs.append(EntitySpec(
                 name=ent.name, n=ent.count, num_features=nf,
-                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0)))
+                use_ff=use_ff, feat_nnz=(ent.F.nnz if nf else 0),
+                solver=(solver if nf else "cg")))
             rm = np.zeros((n_dev, meta.n_loc), dtype)
             rm.reshape(-1)[:meta.n] = 1.0
             arrays_sh["rowmask"][f"e{ei}"] = jnp.asarray(rm)
@@ -969,6 +992,22 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, nys, ent, U_loc,
         y = lxl.triangular_solve(Lf, rhs, left_side=True, lower=True)
         beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
                                     transpose_a=True)
+    elif es.solver == "dual":
+        # Woodbury exact solve (ops/dual.py): Q is row-sharded by
+        # instance owner, so Q't and X't2 psum-reduce per-device partials
+        Qloc = feat["dual_Q"]                       # [n_loc, N]
+        dd = feat["dual_d"]                         # [N]
+
+        def dual_apply(v):
+            t_loc = spmm_fwd(v)                     # [n_loc, K]
+            s = psum(Qloc.T @ t_loc)                # [N, K] replicated
+            s = s / (dd + lam)[:, None]
+            return (v - spmm_t(Qloc @ s)) / lam     # spmm_t psums
+
+        beta = dual_apply(rhs)
+        for _ in range(cfg.dual_refine):
+            r = rhs - (spmm_t(spmm_fwd(beta)) + lam * beta)
+            beta = beta + dual_apply(r)
     else:
         def matvec(V):
             return spmm_t(spmm_fwd(V)) + lam * V

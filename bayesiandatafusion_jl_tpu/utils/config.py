@@ -73,6 +73,16 @@ class MacauConfig:
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold
     ff_threshold: int = 4096
+    # When the FF path does not apply: None = auto (Woodbury "dual" exact
+    # solver via a one-time eigendecomposition of XX' when N < F and Q
+    # fits dual_budget_gb — ops/dual.py; else blocked CG), or force
+    # "cg" / "dual".
+    beta_solver: Optional[str] = None
+    dual_budget_gb: float = 4.0  # HBM allowance for the [N, N] eigenbasis
+    # Iterative-refinement steps for the dual solve: the f32 eigenbasis
+    # carries backward error ~eps*kappa; one step (two extra X passes +
+    # one dual apply) recovers the true residual to below CG's f32 floor
+    dual_refine: int = 1
     cg_tol: float = 1e-6
     cg_maxiter: int = 200
     # Nystrom-preconditioned CG (ops/precond.py): rank of the one-time

@@ -133,9 +133,15 @@ def _ml_engine(variant, sweeps, sharded=False):
                       gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
                       sweeps_per_dispatch=sweeps)
     if sharded:
+        import dataclasses
+
         from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
         from bayesiandatafusion_jl_tpu.parallel.sharded import (
             ShardedMacauEngine)
+        # scan-batching the shard_map sweep re-triggers the fused-draw
+        # scheduling pathology (23.1 vs 20.4 ms/sweep at ML-10M mesh=1);
+        # the sharded engine keeps one dispatch per sweep
+        cfg = dataclasses.replace(cfg, sweeps_per_dispatch=1)
         return ShardedMacauEngine(rd, cfg, mesh=data_mesh()), df
     return MacauEngine(rd, cfg), df
 
@@ -172,8 +178,11 @@ def bench_chembl():
     warm.join()
     dt, m = _time_engine(eng, 20, "chembl")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
-    _emit(f"chembl macau-CG rows/s/chip (rmse@20={m['r0.rmse_avg']:.4f}, "
-          f"cg_iters={m['e0.cg_iters']:.0f})", n_rows / dt)
+    solver = eng.problem.entity_specs[0].solver
+    extra = (f"cg_iters={m['e0.cg_iters']:.0f}" if "e0.cg_iters" in m
+             else f"solver={solver}")
+    _emit(f"chembl macau rows/s/chip (rmse@20={m['r0.rmse_avg']:.4f}, "
+          f"{extra})", n_rows / dt)
 
 
 def bench_tensor():

@@ -281,3 +281,25 @@ def test_degree_zero_instances_equivalence():
     rd = bdf.RelationData.from_indexed_df(df)
     cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64", seed=23)
     _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_macau_dual_equivalence():
+    """Woodbury dual solver (ops/dual.py) is an exact direct solve: it
+    matches the oracle's np.linalg.solve at direct-solve tolerance (the
+    CG path only reaches solver tolerance)."""
+    rng = np.random.default_rng(40)
+    feat = (rng.random((22, 30)) < 0.2).astype(np.float64)  # N < F
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      beta_solver="dual", use_ff=False, seed=41)
+    _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-8, check_beta=True)
+
+
+def test_macau_dual_realvalued_equivalence():
+    rng = np.random.default_rng(42)
+    feat = np.where(rng.random((22, 30)) < 0.2,
+                    rng.standard_normal((22, 30)), 0.0)
+    rd = _matrix_rd(rng, feat1=feat)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      beta_solver="dual", use_ff=False, seed=43)
+    _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-8, check_beta=True)

@@ -352,3 +352,22 @@ def test_sharded_sweeps_per_dispatch_bit_identical():
     a = np.asarray(jax.device_get(r1["state"][0]["ent"][0]["U"]))
     b = np.asarray(jax.device_get(r6["state"][0]["ent"][0]["U"]))
     assert np.array_equal(a, b)
+
+
+def test_sharded_matches_single_macau_dual():
+    """Woodbury dual solver: row-sharded Q with psum-reduced Q't / X't2
+    must match the single-device dual engine (shared eigenbasis)."""
+    rng = np.random.default_rng(33)
+    feat = (rng.random((41, 50)) < 0.2).astype(np.float64)   # N < F
+    df = _lowrank(rng, 41, 29)
+    def build():
+        rd = bdf.RelationData.from_matrix(df, feat1=feat)
+        rd.assign_to_test(0, 40, seed=3)
+        return rd
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", use_ff=False, beta_solver="dual",
+                      seed=7)
+    eng = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert eng.problem.entity_specs[0].solver == "dual"
+    assert "dual_Q" in eng.problem.arrays_sh["feat"]["e0"]
+    _compare_engines(build, cfg, n_sweeps=3, rtol=1e-8)
