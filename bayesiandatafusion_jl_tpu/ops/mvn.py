@@ -45,17 +45,20 @@ def use_pallas_chol(cfg) -> bool:
 
     K <= 32 uses the fully-unrolled batch-on-lanes kernel; 32 < K <= 96
     the column-slab kernel (measured r2: 95x faster than the XLA path at
-    K=48/64, 67x at K=96 for 82k matrices).  K > 96 falls back to XLA:
-    the slab kernel's ~8.5k unrolled statements overflow the Mosaic
-    compile helper at K=128, and a masked-fori alternative measured
-    ~100x slower than the slab (r2 probes; docs/ROUND2_NOTES.md).
+    K=48/64, 67x at K=96 for 82k matrices); 96 < K <= 128 the blocked
+    panel path (chol_sample_blocked: Pallas factor+inverse on 64-wide
+    diagonal panels, MXU batched matmuls for everything else — the plain
+    slab kernel's ~8.5k unrolled statements overflow the Mosaic compile
+    helper at K=128, and a masked-fori alternative measured ~100x slower
+    than the slab; r2 probes, docs/ROUND2_NOTES.md).  K > 128 falls back
+    to XLA (chunk the batch if it OOMs).
     """
     if cfg.pallas == "off":
         return False
     if cfg.pallas == "on":
         return True
     return (jax.default_backend() not in ("cpu",)
-            and cfg.dtype == "float32" and cfg.num_latent <= 96)
+            and cfg.dtype == "float32" and cfg.num_latent <= 128)
 
 
 def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
@@ -69,10 +72,13 @@ def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
             from .pallas_chol import chol_sample_pallas
             return chol_sample_pallas(P, b, xi, cfg.chol_jitter,
                                       Lambda=Lambda)
-        from .pallas_chol import chol_sample_pallas_tiled
         if Lambda is not None:
             P = P + Lambda
-        return chol_sample_pallas_tiled(P, b, xi, cfg.chol_jitter)
+        if K <= 96:
+            from .pallas_chol import chol_sample_pallas_tiled
+            return chol_sample_pallas_tiled(P, b, xi, cfg.chol_jitter)
+        from .pallas_chol import chol_sample_blocked
+        return chol_sample_blocked(P, b, xi, cfg.chol_jitter)
     if Lambda is not None:
         P = P + Lambda
     return chol_sample(P, b, xi, cfg.chol_jitter)

@@ -174,6 +174,142 @@ def chol_sample_pallas_tiled(P: jax.Array, b: jax.Array, xi: jax.Array,
     return out.T[:B]
 
 
+def _chol_inv_slab_kernel(P_ref, W_ref, A, *, K: int):
+    """Factor P = L L^T (column-slab recurrence, as the sampler kernel)
+    and emit W = L^{-1} — the building block of the BLOCKED K > 96 path
+    (:func:`chol_sample_blocked`): with explicit panel inverses, all the
+    O(K^3) off-diagonal work becomes batched matmuls the MXU runs
+    natively, and only the two K<=64 triangular pieces stay on the VPU.
+
+    W is built row-by-row from the finished factor:
+    ``w_i = (e_i - sum_{k<i} L[i,k] w_k) / L[i,i]``.  Rows of W carry
+    zeros beyond their diagonal, so the unrolled [i, T] slab terms read
+    exact zeros from the pre-cleared output block — no masking needed —
+    and the e_i contribution reduces to ``W[i,i] = 1/L[i,i]``.
+    """
+    A[...] = P_ref[...]
+    for j in range(K):
+        d = jnp.sqrt(A[j, j, :])
+        inv = 1.0 / d
+        A[j, j, :] = d
+        if j + 1 < K:
+            A[j, j + 1:, :] = A[j, j + 1:, :] * inv[None, :]
+        for k in range(j + 1, K):
+            A[k, k:, :] = A[k, k:, :] - A[j, k:, :] * A[j, k, :][None, :]
+
+    # L (column-slab) is A[j, i, :] = L[i, j] for i >= j
+    W_ref[...] = jnp.zeros_like(W_ref)
+    W_ref[0, 0, :] = 1.0 / A[0, 0, :]
+    for i in range(1, K):
+        inv = 1.0 / A[i, i, :]
+        s = A[0, i, :][None, :] * W_ref[0, :i, :]
+        for k in range(1, i):
+            s = s + A[k, i, :][None, :] * W_ref[k, :i, :]
+        W_ref[i, :i, :] = -s * inv[None, :]
+        W_ref[i, i, :] = inv
+
+
+def chol_inv_pallas(P: jax.Array, tile: int = 128) -> jax.Array:
+    """W = cholesky(P)^{-1} (lower triangular), batched: P [B, K, K] ->
+    W [B, K, K].  K <= 64 (slab statement budget); batch rides the lanes
+    as in the sampler kernels."""
+    B, K, _ = P.shape
+    dtype = P.dtype
+    while K * K * tile * 4 * 3 > 9_500_000 and tile > 128:
+        tile //= 2
+    pad = (-B) % tile
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(K, dtype=dtype), (pad, K, K))
+        P = jnp.concatenate([P, eye], axis=0)
+    Bp = B + pad
+    Pt = jnp.transpose(P, (1, 2, 0))   # [K, K, Bp]; symmetric => col view
+    out = pl.pallas_call(
+        functools.partial(_chol_inv_slab_kernel, K=K),
+        grid=(Bp // tile,),
+        in_specs=[pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((K, K, tile), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, K, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((K, K, tile), dtype)],
+    )(Pt)
+    # out[i, j, b] = W[b, i, j]
+    return jnp.transpose(out, (2, 0, 1))[:B]
+
+
+def chol_sample_blocked(P: jax.Array, b: jax.Array, xi: jax.Array,
+                        jitter: float = 0.0, block: int = 64,
+                        tile: int = 128) -> jax.Array:
+    """Fused Cholesky-solve-sample for K > 96 via block-panel recursion.
+
+    Blocked right-looking Cholesky with ``block``-wide panels: the
+    diagonal panels are factored AND inverted in one Pallas kernel
+    (:func:`chol_inv_pallas`); every off-diagonal panel, Schur update,
+    and substitution step is then a batched [B, block, block] matmul —
+    MXU work XLA schedules well — instead of the VPU slab statements
+    that overflow the Mosaic compile budget at K = 128.
+
+        L_jj^{-1} = W_jj = chol_inv(P_jj - sum_{k<j} L_jk L_jk^T)
+        L_ij = (P_ij - sum_{k<j} L_ik L_jk^T) W_jj^T          (i > j)
+        y_i  = W_ii (b_i - sum_{k<i} L_ik y_k)                (forward)
+        u_i  = W_ii^T (y_i + xi_i - sum_{k>i} L_ki^T u_k)     (backward)
+
+    K is padded up to a multiple of ``block`` with an identity diagonal
+    (zero-coupled, so padded components sample to exactly zero).  All
+    matmul glue runs at Precision.HIGHEST: the TPU default (one bf16
+    pass) injects ~1e-3 relative error into L21/Schur — measured 2.6e-3
+    on the sampled u, vs 2e-6 with full-f32 passes at ~no wall cost
+    (the panels dominate).
+    """
+    hi = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    B, K, _ = P.shape
+    dtype = P.dtype
+    if jitter:
+        P = P + jitter * jnp.eye(K, dtype=dtype)
+    padk = (-K) % block
+    if padk:
+        Kp = K + padk
+        Pp = jnp.zeros((B, Kp, Kp), dtype)
+        Pp = Pp.at[:, :K, :K].set(P)
+        Pp = Pp.at[:, K:, K:].set(jnp.eye(padk, dtype=dtype))
+        P = Pp
+        b = jnp.concatenate([b, jnp.zeros((B, padk), dtype)], axis=1)
+        xi = jnp.concatenate([xi, jnp.zeros((B, padk), dtype)], axis=1)
+    nb = P.shape[1] // block
+
+    def blk(i, j):
+        return P[:, i * block:(i + 1) * block, j * block:(j + 1) * block]
+
+    L = {}   # off-diagonal panels (i > j)
+    W = {}   # inverted diagonal factors
+    for j in range(nb):
+        S = blk(j, j)
+        for k in range(j):
+            S = S - hi("bik,bjk->bij", L[j, k], L[j, k])
+        W[j] = chol_inv_pallas(S, tile=tile)
+        for i in range(j + 1, nb):
+            Sij = blk(i, j)
+            for k in range(j):
+                Sij = Sij - hi("bik,bjk->bij", L[i, k], L[j, k])
+            L[i, j] = hi("bik,bjk->bij", Sij, W[j])
+
+    bs = [b[:, i * block:(i + 1) * block] for i in range(nb)]
+    xs = [xi[:, i * block:(i + 1) * block] for i in range(nb)]
+    y = [None] * nb
+    for i in range(nb):
+        s = bs[i]
+        for k in range(i):
+            s = s - hi("bij,bj->bi", L[i, k], y[k])
+        y[i] = hi("bij,bj->bi", W[i], s)
+    u = [None] * nb
+    for i in range(nb - 1, -1, -1):
+        s = y[i] + xs[i]
+        for k in range(i + 1, nb):
+            s = s - hi("bji,bj->bi", L[k, i], u[k])
+        u[i] = hi("bji,bj->bi", W[i], s)
+    return jnp.concatenate(u, axis=1)[:, :K]
+
+
 def chol_sample_pallas(P: jax.Array, b: jax.Array, xi: jax.Array,
                        jitter: float = 0.0,
                        tile: int = 512,
