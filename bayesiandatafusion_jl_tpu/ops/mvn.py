@@ -69,6 +69,11 @@ def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
     K = P.shape[-1]
     if use_pallas_chol(cfg):
         if K <= 32:
+            # The slab kernel beats this one STANDALONE at K=32 (5.6 vs
+            # 7.2 ms for 82k), but measured 1 ms SLOWER inside the real
+            # ML-10M sweep (4.02M vs 4.20M rows/s, r2 session 4) — the
+            # in-register Lambda fusion saves an [N,K,K] HBM pass that
+            # the isolated probe does not account for.  Keep unrolled.
             from .pallas_chol import chol_sample_pallas
             return chol_sample_pallas(P, b, xi, cfg.chol_jitter,
                                       Lambda=Lambda)
@@ -76,7 +81,8 @@ def chol_sample_dispatch(cfg, P: jax.Array, b: jax.Array, xi: jax.Array,
             P = P + Lambda
         if K <= 96:
             from .pallas_chol import chol_sample_pallas_tiled
-            return chol_sample_pallas_tiled(P, b, xi, cfg.chol_jitter)
+            return chol_sample_pallas_tiled(P, b, xi, cfg.chol_jitter,
+                                            tile=1024)
         from .pallas_chol import chol_sample_blocked
         return chol_sample_blocked(P, b, xi, cfg.chol_jitter)
     if Lambda is not None:
