@@ -554,6 +554,39 @@ class MacauEngine(GibbsDriverMixin):
                         contribs.append((rels[ri]["alpha"], partners, ba))
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
             fuse = use_pallas_chol(cfg)
+            # packed-triangle fast path: when EVERY contribution is dense
+            # and the unrolled Pallas sampler applies, keep P in the
+            # einsum's native [N, K(K+1)/2] packing end to end — no
+            # [N, K^2] expand pass, half the P HBM into the kernel.
+            # Bit-identical to the expand+full path (same values, same
+            # accumulation order; ops/pallas_chol.chol_sample_packed).
+            if (fuse and K <= 32 and dense_contribs and not contribs
+                    and cfg.accumulation != "planned"):
+                from ..ops.pallas_chol import chol_sample_packed
+                b_acc = prior_mean @ Lambda
+                Pp_acc = None
+                for alpha, partners, ri, mode, plan in dense_contribs:
+                    with jax.named_scope(f"dense_r{ri}m{mode}"):
+                        mdt = gd if gd is not None else dtype
+                        st = arrays["dense"][f"r{ri}"]
+                        dims = list(plan.partner_counts)
+                        dims.insert(mode, plan.n_focus)
+                        P_p, b_d = dense_gram_contrib(
+                            st["M"], st["W"], partners, mode, dims, dtype,
+                            mdt, packed=True)
+                        Pp_acc = (alpha * P_p if Pp_acc is None
+                                  else Pp_acc + alpha * P_p)
+                        b_acc = b_acc + alpha * b_d
+                ent["U"] = chol_sample_packed(
+                    Pp_acc, b_acc, randoms[f"e{ei}.xi"], Lambda,
+                    cfg.chol_jitter)
+                ents[ei] = ent
+                metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
+                if es.has_features:
+                    metrics[f"e{ei}.betanorm"] = jnp.linalg.norm(
+                        ent["beta"])
+                    metrics[f"e{ei}.lambda_beta"] = ent["lambda_beta"]
+                continue
             if cfg.accumulation == "planned":
                 P_acc, b_acc = assemble_precision_planned(
                     Lambda, prior_mean, contribs, es.n,

@@ -241,9 +241,13 @@ def dense_gram_contrib(
     dims: Sequence[int],
     out_dtype,
     op_dtype,
+    packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
-    P [n_focus, K, K], b [n_focus, K].
+    P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
+    the einsum's native [n_focus, K(K+1)/2] upper-triangle packing (for
+    the packed Pallas sampler, ops/pallas_chol.chol_sample_packed) —
+    always the triangle tables, and no expand pass at all.
 
     One multi-operand einsum per quantity: ``P = einsum(T, Y_d...)`` with
     per-partner packed-triangle tables Y_d = U_d[:,iu] * U_d[:,ju]
@@ -272,6 +276,12 @@ def dense_gram_contrib(
     n_focus = dims[focus_axis]
     flop_saving_s = total * K * K / _MXU_FLOPS
     expand_cost_s = n_focus * K * K * 6.0 / _HBM_BPS
+    if packed:
+        iu, ju, _ = _tri_maps(K)
+        Ys = [U[:, iu] * U[:, ju] for U in Us]
+        Pt = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
+        b = jnp.einsum(spec, Wt, *Us, preferred_element_type=out_dtype)
+        return Pt, b
     if flop_saving_s > 2.0 * expand_cost_s:
         iu, ju, expand = _tri_maps(K)
         Ys = [U[:, iu] * U[:, ju] for U in Us]

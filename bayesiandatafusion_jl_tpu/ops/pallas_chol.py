@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -171,6 +172,70 @@ def chol_sample_pallas_tiled(P: jax.Array, b: jax.Array, xi: jax.Array,
                         pltpu.VMEM((K, tile), dtype),
                         pltpu.VMEM((K, tile), dtype)],
     )(Pt, bt, xt)
+    return out.T[:B]
+
+
+def _chol_sample_packed_kernel(P_ref, lam_ref, b_ref, xi_ref, u_ref, *,
+                               K: int, tri):
+    """Packed-triangle variant of the unrolled K<=32 kernel: P arrives as
+    the [K(K+1)/2, T] symmetric packing the dense-Gramian einsum emits
+    natively (ops/dense_gram.py) — the [N, K^2] expand pass disappears
+    and the kernel streams HALF the P bytes.  The recurrence only ever
+    reads the lower triangle, so ``A[i][j] = P[tri[i,j]]``; arithmetic
+    is identical to the full kernel (same values, same op order), making
+    the sampled u bit-identical to the expand+full path."""
+    A = [[P_ref[tri[i][j], :] + lam_ref[i, j] if j <= i else None
+          for j in range(K)] for i in range(K)]
+    _chol_solve_sample(A, b_ref, xi_ref, u_ref, K)
+
+
+def chol_sample_packed(Pp: jax.Array, b: jax.Array, xi: jax.Array,
+                       Lambda: jax.Array, jitter: float = 0.0,
+                       tile: int = 512) -> jax.Array:
+    """Sample u ~ N(P'^{-1} b, P'^{-1}) from PACKED upper-triangle
+    precision rows: Pp [B, K(K+1)/2] (np.triu_indices order), with
+    P' = unpack(Pp) + Lambda (+ jitter I).  K <= 32 (unrolled kernel).
+    """
+    B, C = Pp.shape
+    K = b.shape[-1]
+    assert C == K * (K + 1) // 2
+    dtype = Pp.dtype
+    lam = Lambda.astype(dtype)
+    if jitter:
+        # fold into the (replicated) Lambda add — same total diagonal
+        lam = lam + jitter * jnp.eye(K, dtype=dtype)
+    iu, ju = np.triu_indices(K)
+    tri_of = np.zeros((K, K), np.int32)
+    tri_of[iu, ju] = np.arange(len(iu), dtype=np.int32)
+    tri = np.maximum(tri_of, tri_of.T).tolist()
+    pad = (-B) % tile
+    if pad:
+        # padded lanes factor P = I (diag-packed ones) so no NaNs leak
+        eyep = np.zeros((C,), np.float32)
+        eyep[tri_of[np.arange(K), np.arange(K)]] = 1.0
+        Pp = jnp.concatenate(
+            [Pp, jnp.broadcast_to(jnp.asarray(eyep, dtype), (pad, C))],
+            axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
+    Bp = B + pad
+    out = pl.pallas_call(
+        functools.partial(_chol_sample_packed_kernel, K=K, tri=tri),
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((C, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, K), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+    )(Pp.T, lam, b.T, xi.T)
     return out.T[:B]
 
 

@@ -809,7 +809,28 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
-        if meta.n_head:
+        # packed-triangle fast path (mirrors models/engine.py): all-dense
+        # entity + unrolled Pallas sampler => P stays [n_loc, K(K+1)/2].
+        # Dense modes never head-split (row-balanced MXU work), so the
+        # ghost-fold machinery is structurally idle when this fires.
+        packed_P = None
+        if (use_pallas_chol(cfg) and K <= 32 and dense_contribs
+                and not contribs and not meta.n_head
+                and cfg.accumulation != "planned"):
+            from ..ops.pallas_chol import chol_sample_packed
+            b_acc = prior_mean @ Lambda
+            for alpha, partners, ri, mode, dims_sh in dense_contribs:
+                with jax.named_scope(f"dense_r{ri}m{mode}"):
+                    mdt = gd if gd is not None else dtype
+                    sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
+                    P_p, b_d = dense_gram_contrib(
+                        sl_d["M"], sl_d["W"], partners, 0, dims_sh, dtype,
+                        mdt, packed=True)
+                    packed_P = (alpha * P_p if packed_P is None
+                                else packed_P + alpha * P_p)
+                    b_acc = b_acc + alpha * b_d
+            dense_contribs = []
+        elif meta.n_head:
             # head-entity splitting (SURVEY §7.7): ghost slots accumulate
             # the round-robined head observations on every device; psum
             # the ghost block and fold it into the owners' local slots
@@ -857,19 +878,27 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         fused_lam = (Lambda if (meta.n_head
                                 or (cfg.accumulation != "planned"
                                     and use_pallas_chol(cfg))) else None)
+
+        def _samp(sl):
+            if packed_P is not None:
+                from ..ops.pallas_chol import chol_sample_packed
+                return chol_sample_packed(packed_P[sl], b_acc[sl],
+                                          xi_loc[sl], Lambda,
+                                          cfg.chol_jitter)
+            return chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
+                                        xi_loc[sl], Lambda=fused_lam)
+
         n_blk = max(1, min(cfg.exchange_blocks, meta.n_loc))
         blk = meta.n_loc // n_blk
         if n_blk == 1 or blk * n_blk != meta.n_loc:
-            U_new_loc = chol_sample_dispatch(cfg, P_acc, b_acc, xi_loc,
-                                             Lambda=fused_lam)
+            U_new_loc = _samp(slice(None))
             ent["U"] = jax.lax.all_gather(U_new_loc, AXIS, axis=0,
                                           tiled=True)
         else:
             chunks, gathered = [], []
             for c in range(n_blk):
                 sl = slice(c * blk, (c + 1) * blk)
-                u_c = chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
-                                           xi_loc[sl], Lambda=fused_lam)
+                u_c = _samp(sl)
                 chunks.append(u_c)
                 gathered.append(jax.lax.all_gather(u_c, AXIS, axis=0,
                                                    tiled=True))

@@ -97,6 +97,61 @@ def test_pallas_chol_blocked_matches_xla(interpret_pallas):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_pallas_chol_packed_matches_xla(interpret_pallas):
+    from bayesiandatafusion_jl_tpu.ops.pallas_chol import chol_sample_packed
+    rng = np.random.default_rng(5)
+    B, K = 21, 8
+    C = K * (K + 1) // 2
+    A = rng.standard_normal((B, K, K)).astype(np.float32) * 0.3
+    P = A @ A.transpose(0, 2, 1)
+    Lam = (2 * np.eye(K) + 0.1).astype(np.float32)
+    b = rng.standard_normal((B, K)).astype(np.float32)
+    xi = rng.standard_normal((B, K)).astype(np.float32)
+    iu, ju = np.triu_indices(K)
+    Pp = P[:, iu, ju]
+    want = np.asarray(chol_sample(jnp.asarray(P + Lam), jnp.asarray(b),
+                                  jnp.asarray(xi), jitter=0.25))
+    got = np.asarray(chol_sample_packed(
+        jnp.asarray(Pp), jnp.asarray(b), jnp.asarray(xi),
+        jnp.asarray(Lam), jitter=0.25, tile=16))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_engine_dense_packed_matches_full(interpret_pallas):
+    """All-dense entity + pallas => packed-triangle pipeline (engine.py);
+    must match the pallas='off' dense path on the same seed."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    rng = np.random.default_rng(6)
+    n1, n2, k = 40, 25, 6
+    R = rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.5
+
+    def build():
+        df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask],
+                           (n1, n2))
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 50, seed=2)
+        return rd
+
+    outs = {}
+    for pallas in ("on", "off"):
+        cfg = MacauConfig(num_latent=k, burnin=2, psamples=2,
+                          verbose=False, dtype="float32", seed=9,
+                          pallas=pallas, dense_gram=True)
+        eng = MacauEngine(build(), cfg)
+        if pallas == "on":   # confirm the packed gate actually fires
+            assert eng.problem.dense_plans
+        outs[pallas] = eng.run()
+    np.testing.assert_allclose(outs["on"]["RMSE"], outs["off"]["RMSE"],
+                               rtol=5e-4, atol=5e-4)
+    a = np.asarray(outs["on"]["state"]["ent"][0]["U"])
+    b_ = np.asarray(outs["off"]["state"]["ent"][0]["U"])
+    np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
+
+
 def test_unknown_accumulation_rejected():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
     with pytest.raises(ValueError):
