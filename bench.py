@@ -72,8 +72,11 @@ def _time_engine(eng, sweeps, label):
         n0 = min(spd, sweeps)
         state, mstack = eng._do_sweeps_batch(state, key, 0, n0)
         m0 = next(k for k in mstack if k.endswith("rmse_avg"))
-        rmse_at_sweeps = float(mstack[m0][-1])  # true RMSE@sweeps: the
-        # timed chunks below CONTINUE the chain past `sweeps`
+        ms = next(k for k in mstack if k.endswith("rmse_sample"))
+        # trajectory value at `sweeps` (the north-star "RMSE @ N sweeps");
+        # the timed chunks below CONTINUE the chain past `sweeps`, so the
+        # final rmse_avg is the post-burnin posterior-mean RMSE
+        rmse_at_sweeps = float(mstack[ms][-1])
         print(f"# {label}: first chunk ({n0} sweeps, compile+run) "
               f"{time.time()-t0:.1f}s", file=sys.stderr)
         t0 = time.time()
@@ -158,10 +161,10 @@ def bench_ml(variant, sweeps, sharded=False):
     tag = "sharded mesh=1 " if sharded else ""
     dt, m = _time_engine(eng, sweeps, f"ml{variant}{' sharded' if sharded else ''}")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
-    rmse = m.get("rmse_at_sweeps", m["r0.rmse_avg"])
+    rmse = m.get("rmse_at_sweeps", m["r0.rmse_sample"])
     _emit(f"{tag}rows_sampled_per_s_per_chip (ML-{variant} rank 32; "
-          f"sweeps/s={1/dt:.3f}, rmse@{sweeps}={rmse:.4f})",
-          n_rows / dt)
+          f"sweeps/s={1/dt:.3f}, rmse_sample@{sweeps}={rmse:.4f}, "
+          f"rmse_avg={m['r0.rmse_avg']:.4f})", n_rows / dt)
 
 
 def bench_chembl():
@@ -184,8 +187,7 @@ def bench_chembl():
     solver = eng.problem.entity_specs[0].solver
     extra = (f"cg_iters={m['e0.cg_iters']:.0f}" if "e0.cg_iters" in m
              else f"solver={solver}")
-    _emit(f"chembl macau rows/s/chip "
-          f"(rmse@20={m.get('rmse_at_sweeps', m['r0.rmse_avg']):.4f}, "
+    _emit(f"chembl macau rows/s/chip (rmse_avg={m['r0.rmse_avg']:.4f}, "
           f"{extra})", n_rows / dt)
 
 
@@ -216,8 +218,7 @@ def bench_tensor():
     dt, m = _time_engine(eng, 15, "tensor")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
     _emit(f"tensor 3-way rows/s/chip (30k x 2k x 16, 5M nnz, r32; "
-          f"rmse@15={m.get('rmse_at_sweeps', m['r0.rmse_avg']):.4f})",
-          n_rows / dt)
+          f"rmse_avg={m['r0.rmse_avg']:.4f})", n_rows / dt)
 
 
 def bench_fusion():
@@ -257,8 +258,7 @@ def bench_fusion():
     dt, m = _time_engine(eng, 15, "fusion")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
     _emit(f"fusion 3-relation rows/s/chip (50k compounds, 10M nnz, r32; "
-          f"rmse@15={m.get('rmse_at_sweeps', m['r0.rmse_avg']):.4f})",
-          n_rows / dt)
+          f"rmse_avg={m['r0.rmse_avg']:.4f})", n_rows / dt)
 
 
 def main():
