@@ -52,9 +52,10 @@ class MacauConfig:
     # --- numerics ---
     dtype: str = "float32"      # compute dtype ("float64" for CPU oracle-equivalence)
     chol_jitter: float = 0.0    # added to diag of per-row precision before Cholesky
-    # Pallas kernels: "auto" = on TPU for f32 and K<=96 (K<=32 unrolled
-    # fused Cholesky sampler, 32<K<=96 column-slab kernel; ops/mvn.py
-    # use_pallas_chol); "on"/"off" force
+    # Pallas kernels: "auto" = on TPU for f32 and K<=128 (K<=32 unrolled
+    # fused Cholesky sampler — packed-triangle variant on all-dense
+    # entities; 32<K<=96 column-slab kernel; 96<K<=128 blocked panel
+    # path; ops/mvn.py use_pallas_chol); "on"/"off" force
     pallas: str = "auto"
     # Gramian gather/contraction dtype: None = compute dtype; "bfloat16"
     # halves gather HBM traffic (accumulation stays f32)
