@@ -687,18 +687,26 @@ class MacauEngine(GibbsDriverMixin):
         Xd = feat.get("dense_X")
         if Xd is not None:
             # dense feature products (ops/dense_gram.py use_dense_feat):
-            # bandwidth-bound streams instead of issue-bound gathers
-            xdt = jnp.bfloat16 if Xd.dtype == jnp.int8 else Xd.dtype
+            # bandwidth-bound streams instead of issue-bound gathers.
+            # Full compute-dtype precision: the matvecs stream the stored
+            # int8/f32 slab either way (the cast fuses into the dot), and
+            # bf16 V operands are CATASTROPHIC for the beta draw — the
+            # Woodbury final subtraction amplifies the ~4e-3 rounding to
+            # ~1e-1 true relative residual (r2 session-4 measurement);
+            # TPU's default 1-pass-bf16 matmul does the same, hence
+            # Precision.HIGHEST.
+            hi = (jax.lax.Precision.HIGHEST
+                  if dtype == jnp.float32 else None)
 
             def spmm_fwd(V):
-                return jnp.einsum("nf,fk->nk", Xd.astype(xdt),
-                                  V.astype(xdt),
-                                  preferred_element_type=dtype)
+                return jnp.einsum("nf,fk->nk", Xd.astype(dtype), V,
+                                  preferred_element_type=dtype,
+                                  precision=hi)
 
             def spmm_t(V):
-                return jnp.einsum("nf,nk->fk", Xd.astype(xdt),
-                                  V.astype(xdt),
-                                  preferred_element_type=dtype)
+                return jnp.einsum("nf,nk->fk", Xd.astype(dtype), V,
+                                  preferred_element_type=dtype,
+                                  precision=hi)
         else:
             def spmm_fwd(V):
                 return bucketed_spmm(mv["fwd"], N, V)

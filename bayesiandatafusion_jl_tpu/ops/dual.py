@@ -66,11 +66,19 @@ def dual_eig(G: np.ndarray, dtype) -> Tuple[np.ndarray, np.ndarray]:
 def dual_solve(Q: jax.Array, d: jax.Array, lam, rhs: jax.Array,
                spmm_fwd: Callable[[jax.Array], jax.Array],
                spmm_t: Callable[[jax.Array], jax.Array]) -> jax.Array:
-    """(X'X + lam I)^{-1} rhs via the cached dual eigendecomposition."""
+    """(X'X + lam I)^{-1} rhs via the cached dual eigendecomposition.
+
+    All contractions run at Precision.HIGHEST: the final
+    ``rhs - X' t2`` cancels almost completely along the data directions,
+    so matmul rounding is amplified by ~|X'X|/lam — the TPU default
+    1-pass-bf16 dot (or bf16 operands in the spmm) turns an exact solve
+    into ~1e-1 true relative residual (r2 session-4 measurement).
+    """
+    hi = jax.lax.Precision.HIGHEST
     t = spmm_fwd(rhs)                        # [N, K]
-    s = Q.T @ t
+    s = jax.numpy.matmul(Q.T, t, precision=hi)
     s = s / (d + lam)[:, None]
-    t2 = Q @ s
+    t2 = jax.numpy.matmul(Q, s, precision=hi)
     return (rhs - spmm_t(t2)) / lam
 
 

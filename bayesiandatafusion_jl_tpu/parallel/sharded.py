@@ -993,16 +993,18 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, nys, ent, U_loc,
 
     Xd = feat.get("dense_X")
     if Xd is not None:
-        xdt = jnp.bfloat16 if Xd.dtype == jnp.int8 else Xd.dtype
+        # full compute-dtype precision — see models/engine.py spmm note
+        # (bf16 V operands amplify to ~1e-1 beta-draw residual)
+        hi = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
         def spmm_fwd(V):
-            return jnp.einsum("nf,fk->nk", Xd.astype(xdt), V.astype(xdt),
-                              preferred_element_type=dtype)
+            return jnp.einsum("nf,fk->nk", Xd.astype(dtype), V,
+                              preferred_element_type=dtype, precision=hi)
 
         def spmm_t(V):
-            return psum(jnp.einsum("nf,nk->fk", Xd.astype(xdt),
-                                   V.astype(xdt),
-                                   preferred_element_type=dtype))
+            return psum(jnp.einsum("nf,nk->fk", Xd.astype(dtype), V,
+                                   preferred_element_type=dtype,
+                                   precision=hi))
     else:
         def spmm_fwd(V):
             return bucketed_spmm(feat["fwd"], n_loc, V)
@@ -1027,11 +1029,13 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, nys, ent, U_loc,
         Qloc = feat["dual_Q"]                       # [n_loc, N]
         dd = feat["dual_d"]                         # [N]
 
+        hiq = jax.lax.Precision.HIGHEST  # see ops/dual.py cancellation note
+
         def dual_apply(v):
             t_loc = spmm_fwd(v)                     # [n_loc, K]
-            s = psum(Qloc.T @ t_loc)                # [N, K] replicated
+            s = psum(jnp.matmul(Qloc.T, t_loc, precision=hiq))
             s = s / (dd + lam)[:, None]
-            return (v - spmm_t(Qloc @ s)) / lam     # spmm_t psums
+            return (v - spmm_t(jnp.matmul(Qloc, s, precision=hiq))) / lam
 
         beta = dual_apply(rhs)
         for _ in range(cfg.dual_refine):
