@@ -204,6 +204,9 @@ class CompiledProblem:
                     Qd, dd = dual_mod.dual_eig(G, dtype)
                     arrays["feat"][f"e{ei}"]["dual_Q"] = jnp.asarray(Qd)
                     arrays["feat"][f"e{ei}"]["dual_d"] = jnp.asarray(dd)
+                    # exact G for the N-space refinement (dual_solve_g)
+                    arrays["feat"][f"e{ei}"]["dual_G"] = jnp.asarray(
+                        G.astype(dtype))
                     del G, Qd, dd
                 from ..ops.precond import resolve_nystrom_rank
                 nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
@@ -726,15 +729,16 @@ class MacauEngine(GibbsDriverMixin):
             beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
                                         transpose_a=True)
         elif es.solver == "dual":
-            # Woodbury exact solve on the cached XX' eigendecomposition
-            # (ops/dual.py) — no CG iterations at all
-            from ..ops.dual import dual_solve
-            beta = dual_solve(feat["dual_Q"], feat["dual_d"], lam, rhs,
-                              spmm_fwd, spmm_t)
-            for _ in range(cfg.dual_refine):
-                r = rhs - (spmm_t(spmm_fwd(beta)) + lam * beta)
-                beta = beta + dual_solve(feat["dual_Q"], feat["dual_d"],
-                                         lam, r, spmm_fwd, spmm_t)
+            # Woodbury exact solve on the cached XX' eigendecomposition,
+            # N-space refinement against the exact G, uhat = z for free
+            # (ops/dual.py dual_solve_g) — no CG iterations at all
+            from ..ops.dual import dual_solve_g
+            beta, uhat_z = dual_solve_g(
+                feat["dual_Q"], feat["dual_d"], feat["dual_G"], lam, rhs,
+                spmm_fwd, spmm_t, cfg.dual_refine)
+            out = dict(ent)
+            out["beta"], out["uhat"] = beta, uhat_z
+            return out, None
         else:
             def matvec(V):
                 return spmm_t(spmm_fwd(V)) + lam * V

@@ -26,12 +26,18 @@ The one-time ``eigh`` runs on the HOST (scipy ``syevd``): XLA's TPU eigh
 is impractical at this size (measured 339 s at N=8192 and a compile-
 helper OOM at 15k on the r2 toolchain), while host f32 ``syevd`` at
 N=15k is ~160 s once per engine.  In f32 the eigh-based solve carries a
-backward error ~eps*kappa; one step of iterative refinement (config
-``dual_refine``, default 1 — two extra X passes) brings the true
-residual back to CG-floor levels or below.
+backward error ~eps*kappa; iterative refinement (config ``dual_refine``,
+default 1) runs in the N-space dual system against the exact stored G
+(:func:`dual_solve_g`) and brings the measured true relative residual
+from 1.6e-4 to 1.6e-6 on the 15k x 32k ECFP system — below the CG f32
+floor (~1e-5).  All contractions run at Precision.HIGHEST: the final
+``rhs - X' z`` cancellation amplifies matmul rounding by ~|X'X|/lam, so
+bf16 operands (or the TPU default 1-pass-bf16 dot) would leave ~1e-1
+true residual.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Tuple
 
 import jax
@@ -82,6 +88,41 @@ def dual_solve(Q: jax.Array, d: jax.Array, lam, rhs: jax.Array,
     return (rhs - spmm_t(t2)) / lam
 
 
+def dual_solve_g(Q: jax.Array, d: jax.Array, G: jax.Array, lam,
+                 rhs: jax.Array,
+                 spmm_fwd: Callable[[jax.Array], jax.Array],
+                 spmm_t: Callable[[jax.Array], jax.Array],
+                 n_refine: int) -> Tuple[jax.Array, jax.Array]:
+    """(beta, uhat) with ALL iteration in the N-space dual system.
+
+    Solve ``(G + lam) z = X rhs`` via the cached eigenbasis, refine the
+    z-residual against the EXACT stored G (the eigh carries f32 backward
+    error ~eps*kappa; one refinement contracts it quadratically), then
+
+        beta = (rhs - X' z) / lam
+        uhat = X beta = z            (push-through identity:
+                                      X (X'X+lam)^{-1} = (XX'+lam)^{-1} X)
+
+    vs iterating in F-space this does 3 X passes per sweep instead of 8
+    (rhs build included) and gets uhat without any X pass at all.
+    Contractions run at Precision.HIGHEST (see dual_solve note).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jax.numpy.matmul, precision=hi)
+
+    def apply_inv(t):
+        s = mm(Q.T, t) / (d + lam)[:, None]
+        return mm(Q, s)
+
+    t0 = spmm_fwd(rhs)                       # [N, K]
+    z = apply_inv(t0)
+    for _ in range(n_refine):
+        r = t0 - mm(G, z) - lam * z
+        z = z + apply_inv(r)
+    beta = (rhs - spmm_t(z)) / lam
+    return beta, z
+
+
 def use_dual(beta_solver, n: int, num_features: int,
              itemsize: int, budget_gb: float) -> bool:
     """Solver auto-selection (config.beta_solver):
@@ -89,11 +130,11 @@ def use_dual(beta_solver, n: int, num_features: int,
     - "dual" forces it; "cg" forbids it.
     - auto (None): N < F (the dual system is the smaller one), F large
       enough that CG would be the alternative (>= 4096 — below that the
-      FF path usually applies anyway), and Q fits the budget.
+      FF path usually applies anyway), and Q + G fit the budget.
     """
     if beta_solver == "dual":
         return True
     if beta_solver is not None:
         return False
     return (n < num_features and num_features >= 4096
-            and n * n * itemsize <= budget_gb * 1e9)
+            and 2 * n * n * itemsize <= budget_gb * 1e9)

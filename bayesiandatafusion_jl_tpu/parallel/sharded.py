@@ -286,7 +286,15 @@ class ShardedProblem:
                         Qp.reshape(n_dev, meta.n_loc, meta.n))
                     arrays_sh["feat"][f"e{ei}"]["dual_d"] = jnp.asarray(
                         np.broadcast_to(dd, (n_dev, meta.n)).copy())
-                    del G, Qd, Qp
+                    # exact G for the N-space refinement, permuted on
+                    # BOTH axes to the owner layout so Gloc contracts the
+                    # all-gathered z directly (pad rows/cols zero)
+                    perm = self.perms[ei]
+                    Gp = np.zeros((meta.n_pad, meta.n_pad), dtype)
+                    Gp[:meta.n, :meta.n] = G[np.ix_(perm, perm)]
+                    arrays_sh["feat"][f"e{ei}"]["dual_G"] = jnp.asarray(
+                        Gp.reshape(n_dev, meta.n_loc, meta.n_pad))
+                    del G, Qd, Qp, Gp
                 from ..ops.precond import resolve_nystrom_rank
                 nys_rank = resolve_nystrom_rank(config.cg_nystrom_rank, nf)
                 if solver == "cg" and nys_rank and nf >= 4 * nys_rank:
@@ -1024,23 +1032,29 @@ def _sample_beta_sharded(problem, ei, es, feat, ftf, nys, ent, U_loc,
         beta = lxl.triangular_solve(Lf, y, left_side=True, lower=True,
                                     transpose_a=True)
     elif es.solver == "dual":
-        # Woodbury exact solve (ops/dual.py): Q is row-sharded by
-        # instance owner, so Q't and X't2 psum-reduce per-device partials
+        # Woodbury exact solve with N-space refinement (ops/dual.py
+        # dual_solve_g, sharded form): Q/G row-sharded by instance owner;
+        # Q't psum-reduces, the G z product all-gathers the [n_pad, K] z
+        # (2 MB — cheap); uhat = z_loc directly (push-through identity)
         Qloc = feat["dual_Q"]                       # [n_loc, N]
         dd = feat["dual_d"]                         # [N]
-
+        Gloc = feat["dual_G"]                       # [n_loc, n_pad]
         hiq = jax.lax.Precision.HIGHEST  # see ops/dual.py cancellation note
 
-        def dual_apply(v):
-            t_loc = spmm_fwd(v)                     # [n_loc, K]
+        def apply_inv_loc(t_loc):
             s = psum(jnp.matmul(Qloc.T, t_loc, precision=hiq))
             s = s / (dd + lam)[:, None]
-            return (v - spmm_t(jnp.matmul(Qloc, s, precision=hiq))) / lam
+            return jnp.matmul(Qloc, s, precision=hiq)
 
-        beta = dual_apply(rhs)
+        t0_loc = spmm_fwd(rhs)                      # [n_loc, K]
+        z_loc = apply_inv_loc(t0_loc)
         for _ in range(cfg.dual_refine):
-            r = rhs - (spmm_t(spmm_fwd(beta)) + lam * beta)
-            beta = beta + dual_apply(r)
+            z_full = jax.lax.all_gather(z_loc, AXIS, axis=0, tiled=True)
+            r_loc = (t0_loc - jnp.matmul(Gloc, z_full, precision=hiq)
+                     - lam * z_loc)
+            z_loc = z_loc + apply_inv_loc(r_loc)
+        beta = (rhs - spmm_t(z_loc)) / lam          # spmm_t psums
+        return beta, z_loc, None
     else:
         def matvec(V):
             return spmm_t(spmm_fwd(V)) + lam * V
