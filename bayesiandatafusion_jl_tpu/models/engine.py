@@ -199,9 +199,9 @@ class CompiledProblem:
                         config.beta_solver, ent.count, nf,
                         dtype.itemsize, config.dual_budget_gb):
                     solver = "dual"
-                    G = dual_mod.build_dual_gram(
-                        F.rows, F.cols, F.values(), F.shape)
-                    Qd, dd = dual_mod.dual_eig(G, dtype)
+                    Qd, dd, G = dual_mod.dual_eig_cached(
+                        F.rows, F.cols, F.values(), F.shape, dtype,
+                        config.dual_cache_dir)
                     arrays["feat"][f"e{ei}"]["dual_Q"] = jnp.asarray(Qd)
                     arrays["feat"][f"e{ei}"]["dual_d"] = jnp.asarray(dd)
                     # exact G for the N-space refinement (dual_solve_g)

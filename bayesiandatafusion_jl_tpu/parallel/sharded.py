@@ -277,9 +277,9 @@ class ShardedProblem:
                     # single-device and sharded runs share one eigenbasis
                     # (parity at 1e-8).
                     solver = "dual"
-                    G = dual_mod.build_dual_gram(F.rows, F.cols, fvals,
-                                                 F.shape)
-                    Qd, dd = dual_mod.dual_eig(G, dtype)
+                    Qd, dd, G = dual_mod.dual_eig_cached(
+                        F.rows, F.cols, fvals, F.shape, dtype,
+                        config.dual_cache_dir)
                     Qp = np.zeros((meta.n_pad, meta.n), Qd.dtype)
                     Qp[:meta.n] = Qd[self.perms[ei]]
                     arrays_sh["feat"][f"e{ei}"]["dual_Q"] = jnp.asarray(

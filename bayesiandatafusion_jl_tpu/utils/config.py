@@ -79,7 +79,11 @@ class MacauConfig:
     # fits dual_budget_gb — ops/dual.py; else blocked CG), or force
     # "cg" / "dual".
     beta_solver: Optional[str] = None
-    dual_budget_gb: float = 4.0  # HBM allowance for the [N, N] eigenbasis
+    dual_budget_gb: float = 4.0  # HBM allowance for the [N, N] Q + G pair
+    # Directory for caching the one-time XX' eigendecomposition (~270 s
+    # host eigh at N=15k) keyed by a content hash of the feature matrix;
+    # None = recompute every engine build
+    dual_cache_dir: Optional[str] = None
     # Iterative-refinement steps for the dual solve: the f32 eigenbasis
     # carries backward error ~eps*kappa; one step (two extra X passes +
     # one dual apply) recovers the true residual to below CG's f32 floor

@@ -176,10 +176,12 @@ def bench_chembl():
     rd = synthetic_chembl(n_compounds=15_000, n_targets=346,
                           n_features=32_000, nnz=300_000, seed=3)
     rd.assign_to_test(0, 30_000, seed=7)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache")
     cfg = MacauConfig(num_latent=32, burnin=20, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16",
                       use_ff=False, cg_maxiter=100, seed=42,
-                      sweeps_per_dispatch=20)
+                      sweeps_per_dispatch=20, dual_cache_dir=cache)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 20, "chembl")

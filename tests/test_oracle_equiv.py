@@ -295,6 +295,25 @@ def test_macau_dual_equivalence():
     _run_equiv(rd, cfg, n_sweeps=3, rtol=1e-8, check_beta=True)
 
 
+def test_dual_eig_cache_roundtrip(tmp_path):
+    """dual_eig_cached: second call returns the stored (Q, d) exactly."""
+    from bayesiandatafusion_jl_tpu.ops.dual import dual_eig_cached
+    rng = np.random.default_rng(7)
+    rows, cols = np.nonzero(rng.random((12, 20)) < 0.3)
+    vals = rng.random(rows.shape[0])
+    a = dual_eig_cached(rows, cols, vals, (12, 20), np.float64,
+                        str(tmp_path))
+    assert len(list(tmp_path.glob("dualeig_*.npz"))) == 1
+    b = dual_eig_cached(rows, cols, vals, (12, 20), np.float64,
+                        str(tmp_path))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    # different values => different key
+    dual_eig_cached(rows, cols, vals + 1.0, (12, 20), np.float64,
+                    str(tmp_path))
+    assert len(list(tmp_path.glob("dualeig_*.npz"))) == 2
+
+
 def test_macau_dual_realvalued_equivalence():
     rng = np.random.default_rng(42)
     feat = np.where(rng.random((22, 30)) < 0.2,
