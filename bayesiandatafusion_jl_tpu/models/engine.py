@@ -871,27 +871,43 @@ def auc_device(labels: jax.Array, scores: jax.Array,
                weights: Optional[jax.Array] = None) -> jax.Array:
     """Binary AUC via the midrank statistic, jit-safe on device.
 
-    Uses midranks for tied scores (rank_min/rank_max via two-sided
-    searchsorted) so it agrees with the host :func:`_auc` on ties —
-    class_cut workloads routinely produce tied predictions.
+    Uses midranks for tied scores so it agrees with the host
+    :func:`_auc` on ties — class_cut workloads routinely produce tied
+    predictions.  Midranks are computed IN SORTED ORDER via tie-group
+    boundary scans (cummax/cummin): labels (and weights) are co-sorted
+    with the scores in one multi-operand ``lax.sort``, so no rank ever
+    has to be scattered back.  The earlier two-sided ``searchsorted``
+    formulation compiled to two 15-step binary-search while loops of
+    30k dynamic gathers each — ~6 ms/sweep at the ChEMBL test-set size,
+    vs ~0.1 ms for the scans (r2 trace, docs/ROUND2_NOTES.md).
 
     ``weights`` (0/1) excludes padding entries: padded rows must carry
     scores ABOVE every real score (e.g. +inf) so the real midranks are
     unaffected, and weight 0 so they contribute to no count.
     """
     dtype = scores.dtype
-    s_sorted = jnp.sort(scores)
-    left = jnp.searchsorted(s_sorted, scores, side="left")
-    right = jnp.searchsorted(s_sorted, scores, side="right")
-    ranks = 0.5 * (left + right + 1).astype(dtype)   # 1-based midranks
+    n = scores.shape[0]
+    ops = [scores, labels.astype(dtype)]
+    if weights is not None:
+        ops.append(weights.astype(dtype))
+    srt = jax.lax.sort(ops, num_keys=1)
+    s = srt[0]
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)     # 1-based sorted ranks
+    brk = s[1:] != s[:-1]                           # tie-group boundaries
+    one = jnp.ones((1,), bool)
+    # first/last 1-based index of each element's tie group
+    start = jax.lax.cummax(jnp.where(jnp.concatenate([one, brk]), idx, 0))
+    end = jax.lax.cummin(
+        jnp.where(jnp.concatenate([brk, one]), idx, n + 1), reverse=True)
+    ranks = 0.5 * (start + end).astype(dtype)       # 1-based midranks
     if weights is None:
         n_pos = jnp.sum(labels)
         n_neg = labels.shape[0] - n_pos
-        r_pos = jnp.sum(ranks * labels)
+        r_pos = jnp.sum(ranks * srt[1])
     else:
         n_pos = jnp.sum(labels * weights)
         n_neg = jnp.sum(weights) - n_pos
-        r_pos = jnp.sum(ranks * labels * weights)
+        r_pos = jnp.sum(ranks * srt[1] * srt[2])
     return ((r_pos - n_pos * (n_pos + 1) / 2.0)
             / jnp.maximum(n_pos * n_neg, 1.0))
 
