@@ -108,13 +108,22 @@ class CompiledProblem:
             [rel.data.nnz for rel in rd.relations], K,
             config.dense_gram, config.dense_gram_budget_gb * 1e9,
             jnp.dtype(store_jnp).itemsize)
+        self.dense_w_scale: Dict[int, float] = {}  # ri -> static int8 scale
         for ri in sorted(_dense_canon):
             rel = rd.relations[ri]
             M, W = dg.build_dense_pair(
                 rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
                 [e.count for e in rel.entities], store_np)
-            arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M, store_jnp),
-                                         "W": jnp.asarray(W, store_jnp)}
+            q8 = (dg.quantize_dense_pair(M, W)
+                  if config.dense_int8 and rel.arity == 2 else None)
+            if q8 is not None:
+                M8, W8, self.dense_w_scale[ri] = q8
+                arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M8),
+                                             "W": jnp.asarray(W8)}
+                del M8, W8
+            else:
+                arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M, store_jnp),
+                                             "W": jnp.asarray(W, store_jnp)}
             del M, W
 
         for ri, rel in enumerate(rd.relations):
@@ -576,7 +585,8 @@ class MacauEngine(GibbsDriverMixin):
                         dims.insert(mode, plan.n_focus)
                         P_p, b_d = dense_gram_contrib(
                             st["M"], st["W"], partners, mode, dims, dtype,
-                            mdt, packed=True)
+                            mdt, packed=True,
+                            w_scale=self.problem.dense_w_scale.get(ri))
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
@@ -609,7 +619,8 @@ class MacauEngine(GibbsDriverMixin):
                     dims = list(plan.partner_counts)
                     dims.insert(mode, plan.n_focus)
                     P_d, b_d = dense_gram_contrib(
-                        st["M"], st["W"], partners, mode, dims, dtype, mdt)
+                        st["M"], st["W"], partners, mode, dims, dtype, mdt,
+                        w_scale=self.problem.dense_w_scale.get(ri))
                     P_acc = P_acc + alpha * P_d
                     b_acc = b_acc + alpha * b_d
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,

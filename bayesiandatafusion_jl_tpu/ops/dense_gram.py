@@ -214,6 +214,59 @@ def build_dense_pair(idx: np.ndarray, centered: np.ndarray,
     return M.reshape(n0, -1), W.reshape(n0, -1)
 
 
+def quantize_dense_pair(M: np.ndarray, W: np.ndarray):
+    """int8-quantize a dense (M, W) pair for the s8 MXU path.
+
+    M holds exact small observation counts (0/1 plus duplicates) — stored
+    verbatim in int8.  W holds the centered-value sums; it is symmetric-
+    quantized with ONE static per-relation scale ``w_scale`` so the
+    dequantization after the dot is a single broadcast multiply.  Returns
+    ``None`` when M's counts exceed int8 (pathologically duplicated
+    observations) — callers fall back to the bf16/f32 store.
+
+    Precision: W's quantization step is ``max|W|/127`` — for rating-scale
+    values that is ~0.8% of the max, the same order as bf16's 2^-9
+    element-wise rounding that the default ``gram_dtype='bfloat16'`` path
+    already accepts (r2 int8 probe + RMSE-parity run, docs/ROUND2_NOTES.md).
+    """
+    if float(M.max(initial=0.0)) > 127.0:
+        return None
+    # overflow guard: the dots accumulate in EXACT int32 (order-independent
+    # — keeps sharded == plain bitwise); per-output-element magnitude is
+    # bounded by 127*127*degree, so the max degree along either contraction
+    # axis must stay under 2^31 / 127^2.
+    deg_cap = (2**31) / (127.0 * 127.0)
+    if (float(M.sum(axis=1).max(initial=0.0)) >= deg_cap
+            or float(M.sum(axis=0).max(initial=0.0)) >= deg_cap):
+        return None
+    w_max = float(np.abs(W).max(initial=0.0))
+    w_scale = (w_max / 127.0) or 1.0
+    M8 = M.astype(np.int8)
+    W8 = np.clip(np.round(W / w_scale), -127, 127).astype(np.int8)
+    return M8, W8, w_scale
+
+
+def _quantize_cols(A: jax.Array, n_valid: Optional[int] = None):
+    """Per-output-column symmetric int8 quantization (traced, per sweep).
+
+    The scale vector multiplies the dot's OUTPUT columns, so dequantization
+    is exact per column: ``dot(M8, round(A/s)) * s == dot(M8, A)`` up to
+    the rounding of A alone — the contraction itself is exact integer
+    arithmetic on the MXU (2x the bf16 rate on v5e: 175 vs 120 TFLOP/s in
+    the same layout, r2 probe).
+
+    ``n_valid``: compute the scales over this leading (static) row prefix
+    only — the sharded engine's padded factor tables carry trailing pad
+    rows whose latents are prior draws; excluding them keeps the scales
+    (and thus the quantized values and the exact-int32 dots) bitwise equal
+    to the single-device engine's."""
+    Av = A if n_valid is None else A[:n_valid]
+    s = jnp.max(jnp.abs(Av), axis=0) / 127.0
+    s = jnp.maximum(s, jnp.asarray(np.finfo(np.float32).tiny, A.dtype))
+    q = jnp.clip(jnp.round(A / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
 _tri_cache = {}
 
 
@@ -242,6 +295,8 @@ def dense_gram_contrib(
     out_dtype,
     op_dtype,
     packed: bool = False,
+    w_scale: Optional[float] = None,
+    n_valid: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
@@ -267,6 +322,25 @@ def dense_gram_contrib(
     spec = (letters + ","
             + ",".join(letters[d] + "z" for d in parts)
             + "->" + letters[focus_axis] + "z")
+    if w_scale is not None:
+        # s8 MXU path (matrix relations only): M/W stored int8 (exact
+        # counts / statically-scaled values, quantize_dense_pair); Y and V
+        # quantized per sweep with per-OUTPUT-COLUMN scales, dequantized by
+        # one broadcast multiply after each dot.
+        assert len(dims) == 2, "int8 dense path is arity-2 only"
+        U0 = partner_factors[0].astype(jnp.float32)
+        iu, ju, expand = _tri_maps(K)
+        Y8, sy = _quantize_cols(U0[:, iu] * U0[:, ju], n_valid)
+        Pt = (jnp.einsum(spec, T, Y8, preferred_element_type=jnp.int32)
+              .astype(out_dtype) * sy[None, :].astype(out_dtype))
+        V8, sv = _quantize_cols(U0, n_valid)
+        b = (jnp.einsum(spec, Wt, V8, preferred_element_type=jnp.int32)
+             .astype(out_dtype) * (w_scale * sv)[None, :].astype(out_dtype))
+        if packed:
+            return Pt, b
+        n_focus = dims[focus_axis]
+        P = jnp.take(Pt, jnp.asarray(expand), axis=1)
+        return P.reshape(n_focus, K, K), b
     Us = [U.astype(op_dtype) for U in partner_factors]
     # Triangle packing trades ~48% of the matmul FLOPs for an extra
     # [n_focus, K^2] expand pass — a win only when the contraction is

@@ -136,6 +136,7 @@ class ShardedProblem:
                     else config.np_dtype())
         store_jnp = (jnp.bfloat16 if config.gram_dtype == "bfloat16"
                      else jnp.dtype(config.dtype))
+        self.dense_w_scale: Dict[Tuple[int, int], float] = {}
         self.dense_plans, _, _ = dg.plan_dense_modes(
             [tuple(e.count for e in rel.entities) for rel in rd.relations],
             [rel.data.nnz for rel in rd.relations], config.num_latent,
@@ -168,11 +169,18 @@ class ShardedProblem:
                             for d in range(rel.arity)]
                     M, W = dg.build_dense_pair(idx_p, centered, dims,
                                                store_np, perm=perm_order)
+                    q8 = (dg.quantize_dense_pair(M, W)
+                          if config.dense_int8 and rel.arity == 2 else None)
+                    if q8 is not None:
+                        M, W, self.dense_w_scale[(ri, mode)] = q8
+                        store = jnp.int8
+                    else:
+                        store = store_jnp
                     arrays_sh["dense"][f"r{ri}m{mode}"] = {
                         "M": jnp.asarray(
-                            M.reshape(n_dev, meta.n_loc, -1), store_jnp),
+                            M.reshape(n_dev, meta.n_loc, -1), store),
                         "W": jnp.asarray(
-                            W.reshape(n_dev, meta.n_loc, -1), store_jnp)}
+                            W.reshape(n_dev, meta.n_loc, -1), store)}
                     del M, W
                     arrays_sh["layouts"][f"r{ri}m{mode}"] = []
                     host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
@@ -730,6 +738,18 @@ class ShardedMacauEngine(GibbsDriverMixin):
 # The per-device sweep body (runs under shard_map)
 # ---------------------------------------------------------------------------
 
+def _dense_partner_n(problem: ShardedProblem, ri: int, mode: int):
+    """True (unpadded) row count of the partner factor table for an int8
+    dense mode — the quantization scales must be computed over the valid
+    rows only so they match the single-device engine bitwise (pad rows'
+    latents are prior draws; ops/dense_gram._quantize_cols)."""
+    if problem.dense_w_scale.get((ri, mode)) is None:
+        return None
+    rs = problem.rel_specs[ri]
+    pd = [d for d in range(rs.arity) if d != mode][0]
+    return problem.ent_meta[rs.entity_ids[pd]].n
+
+
 def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                  state_rep, state_sh, rnd_sh, rnd_rep, accumulate):
     cfg = problem.config
@@ -833,7 +853,9 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                     sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
                     P_p, b_d = dense_gram_contrib(
                         sl_d["M"], sl_d["W"], partners, 0, dims_sh, dtype,
-                        mdt, packed=True)
+                        mdt, packed=True,
+                        w_scale=problem.dense_w_scale.get((ri, mode)),
+                        n_valid=_dense_partner_n(problem, ri, mode))
                     packed_P = (alpha * P_p if packed_P is None
                                 else packed_P + alpha * P_p)
                     b_acc = b_acc + alpha * b_d
@@ -872,8 +894,10 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             with jax.named_scope(f"dense_r{ri}m{mode}"):
                 mdt = gd if gd is not None else dtype
                 sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
-                P_d, b_d = dense_gram_contrib(sl["M"], sl["W"], partners,
-                                              0, dims_sh, dtype, mdt)
+                P_d, b_d = dense_gram_contrib(
+                    sl["M"], sl["W"], partners, 0, dims_sh, dtype, mdt,
+                    w_scale=problem.dense_w_scale.get((ri, mode)),
+                    n_valid=_dense_partner_n(problem, ri, mode))
                 P_acc = P_acc + alpha * P_d
                 b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]

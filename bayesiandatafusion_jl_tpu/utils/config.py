@@ -70,6 +70,13 @@ class MacauConfig:
     # per-mode pairs fit at ML-10M scale (2 x 3.06 GB bf16); modes that
     # do not fit fall back to the gather path (logged to stderr).
     dense_gram_budget_gb: float = 9.0
+    # s8 MXU path for dense MATRIX (arity-2) modes: store M/W as int8
+    # (exact counts; statically-scaled values) and quantize Y/V per sweep
+    # with per-output-column scales (ops/dense_gram.quantize_dense_pair).
+    # 2x the bf16 MXU rate and half the HBM stream; quantization noise is
+    # the same order as gram_dtype="bfloat16"'s rounding.  Tensor modes
+    # and the gather path are unaffected.
+    dense_int8: bool = False
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold

@@ -136,7 +136,7 @@ def _ml_engine(variant, sweeps, sharded=False):
     cfg = MacauConfig(num_latent=32, burnin=sweeps, psamples=0,
                       clamp=(1.0, 5.0), verbose=False, dtype="float32",
                       gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
-                      sweeps_per_dispatch=sweeps)
+                      sweeps_per_dispatch=sweeps, dense_int8=True)
     if sharded:
         import dataclasses
 
@@ -181,7 +181,8 @@ def bench_chembl():
     cfg = MacauConfig(num_latent=32, burnin=20, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16",
                       use_ff=False, cg_maxiter=100, seed=42,
-                      sweeps_per_dispatch=20, dual_cache_dir=cache)
+                      sweeps_per_dispatch=20, dual_cache_dir=cache,
+                      dense_int8=True)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 20, "chembl")
@@ -254,7 +255,8 @@ def bench_fusion():
     rd.assign_to_test("ic50", 100_000, seed=7)
     cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16", seed=42,
-                      bucket_widths=WIDTHS, sweeps_per_dispatch=15)
+                      bucket_widths=WIDTHS, sweeps_per_dispatch=15,
+                      dense_int8=True)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 15, "fusion")

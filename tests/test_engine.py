@@ -294,6 +294,57 @@ def test_int8_feature_slab_close_to_f32():
     assert abs(r32 - ri8) < 0.05, (r32, ri8)
 
 
+def test_dense_int8_close_to_f32():
+    """dense_int8: int8-stored M/W + per-column-quantized Y/V must track
+    the f32 dense path closely (quantization noise is the same order as
+    gram_dtype='bfloat16' rounding)."""
+    rng = np.random.default_rng(23)
+    n1, n2, k = 90, 70, 4
+    U = rng.standard_normal((n1, k))
+    V = rng.standard_normal((n2, k))
+    R = U @ V.T / np.sqrt(k) + 0.2 * rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.5
+    df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], (n1, n2))
+
+    def run(int8):
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 300, seed=3)
+        cfg = MacauConfig(num_latent=k, burnin=10, psamples=10,
+                          verbose=False, dtype="float32", dense_gram=True,
+                          dense_int8=int8, seed=17)
+        eng = MacauEngine(rd, cfg)
+        if int8:
+            import jax.numpy as jnp
+            st = eng.problem.arrays["dense"]["r0"]
+            assert st["M"].dtype == jnp.int8 and st["W"].dtype == jnp.int8
+            assert eng.problem.dense_w_scale.get(0)
+        return eng.run()["RMSE"]
+
+    r32, r8 = run(False), run(True)
+    assert abs(r32 - r8) < 0.02, (r32, r8)
+
+
+def test_dense_gram_contrib_int8_close():
+    """Unit closeness of the quantized contraction against the f32 one."""
+    import jax.numpy as jnp
+
+    from bayesiandatafusion_jl_tpu.ops import dense_gram as dg
+    rng = np.random.default_rng(29)
+    n, np_, k = 40, 30, 5
+    idx = np.stack(np.nonzero(rng.random((n, np_)) < 0.4), 1)
+    vals = rng.standard_normal(idx.shape[0])
+    M, W = dg.build_dense_pair(idx, vals, (n, np_), np.float32)
+    Up = jnp.asarray(rng.standard_normal((np_, k)), jnp.float32)
+    P0, b0 = dg.dense_gram_contrib(jnp.asarray(M), jnp.asarray(W), [Up],
+                                   0, (n, np_), jnp.float32, jnp.float32)
+    M8, W8, ws = dg.quantize_dense_pair(M, W)
+    P1, b1 = dg.dense_gram_contrib(jnp.asarray(M8), jnp.asarray(W8), [Up],
+                                   0, (n, np_), jnp.float32, jnp.float32,
+                                   w_scale=ws)
+    np.testing.assert_allclose(P1, P0, atol=0.02 * float(jnp.abs(P0).max()))
+    np.testing.assert_allclose(b1, b0, atol=0.03 * float(jnp.abs(b0).max()))
+
+
 def test_config_yaml_roundtrip(tmp_path):
     cfg = MacauConfig(num_latent=16, burnin=7, clamp=(1.0, 5.0),
                       gram_dtype="bfloat16", bucket_widths=(8, 64))

@@ -300,6 +300,29 @@ def test_sharded_dense_gram_matches_single():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_dense_int8_matches_single():
+    """int8 dense path on both engines: the exact-int32 dots and
+    prefix-restricted quantization scales (pad rows excluded) keep the
+    8-device run equal to the single-device int8 run at 1e-8."""
+    rng = np.random.default_rng(17)
+    df = _lowrank(rng, 53, 37)
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, dense_int8=True,
+                      seed=5)
+    eng8 = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert eng8.problem.dense_w_scale, "int8 store did not engage"
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_sharded_dense_gram_tensor_multirel():
     """Dense sharded slabs for a fusion graph with a 3-way tensor: every
     mode of every relation goes dense (per-mode pairs), alpha sampled."""
