@@ -114,8 +114,7 @@ class CompiledProblem:
             M, W = dg.build_dense_pair(
                 rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
                 [e.count for e in rel.entities], store_np)
-            q8 = (dg.quantize_dense_pair(M, W)
-                  if config.dense_int8 and rel.arity == 2 else None)
+            q8 = dg.quantize_dense_pair(M, W) if config.dense_int8 else None
             if q8 is not None:
                 M8, W8, self.dense_w_scale[ri] = q8
                 arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M8),

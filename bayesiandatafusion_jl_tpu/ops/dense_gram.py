@@ -296,7 +296,7 @@ def dense_gram_contrib(
     op_dtype,
     packed: bool = False,
     w_scale: Optional[float] = None,
-    n_valid: Optional[int] = None,
+    n_valid: Optional[Sequence[Optional[int]]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
@@ -323,19 +323,51 @@ def dense_gram_contrib(
             + ",".join(letters[d] + "z" for d in parts)
             + "->" + letters[focus_axis] + "z")
     if w_scale is not None:
-        # s8 MXU path (matrix relations only): M/W stored int8 (exact
-        # counts / statically-scaled values, quantize_dense_pair); Y and V
-        # quantized per sweep with per-OUTPUT-COLUMN scales, dequantized by
-        # one broadcast multiply after each dot.
-        assert len(dims) == 2, "int8 dense path is arity-2 only"
-        U0 = partner_factors[0].astype(jnp.float32)
+        # s8 MXU path: M/W stored int8 (exact counts / statically-scaled
+        # values, quantize_dense_pair).  The LARGEST partner axis is
+        # contracted first as an s8 x s8 -> exact-int32 dot (the dominant
+        # pairwise contraction — all of T/W streams through it), with the
+        # per-OUTPUT-COLUMN scales dequantizing in one broadcast multiply;
+        # any remaining (small) partner axes finish in f32.  For arity 2
+        # this is the whole contraction.
+        Uf = [U.astype(jnp.float32) for U in partner_factors]
+        nv = (list(n_valid) if n_valid is not None
+              else [None] * len(Uf))
+        # "largest" judged by TRUE row counts when given (sharded partner
+        # dims are padded; plain are not — the choice must agree between
+        # engines or their quantizations diverge)
+        sizes = [nv[i] if nv[i] is not None else dims[d]
+                 for i, d in enumerate(parts)]
+        bi = int(np.argmax(sizes))
+        big = parts[bi]
+        rem = [d for d in range(len(dims)) if d != big]
+        spec_i8 = (letters + "," + letters[big] + "z->"
+                   + "".join(letters[d] for d in rem) + "z")
+        spec_f32 = ("".join(letters[d] for d in rem) + "z,"
+                    + ",".join(letters[d] + "z" for d in parts if d != big)
+                    + "->" + letters[focus_axis] + "z") if len(dims) > 2 \
+            else None
+
+        def contract(T8, tables, extra_scale):
+            A8, sa = _quantize_cols(tables[bi], nv[bi])
+            # dequantize and finish in OUT_DTYPE: under f64 the step-2
+            # reduction's rounding must stay at f64 scale or the sharded
+            # slab's different S layout (hence reduce order) breaks the
+            # 1e-8 engine-parity seam
+            S = (jnp.einsum(spec_i8, T8, A8,
+                            preferred_element_type=jnp.int32)
+                 .astype(out_dtype)
+                 * (extra_scale * sa).astype(out_dtype))
+            if spec_f32 is None:
+                return S
+            small = [t.astype(out_dtype)
+                     for i, t in enumerate(tables) if i != bi]
+            return jnp.einsum(spec_f32, S, *small,
+                              preferred_element_type=out_dtype)
+
         iu, ju, expand = _tri_maps(K)
-        Y8, sy = _quantize_cols(U0[:, iu] * U0[:, ju], n_valid)
-        Pt = (jnp.einsum(spec, T, Y8, preferred_element_type=jnp.int32)
-              .astype(out_dtype) * sy[None, :].astype(out_dtype))
-        V8, sv = _quantize_cols(U0, n_valid)
-        b = (jnp.einsum(spec, Wt, V8, preferred_element_type=jnp.int32)
-             .astype(out_dtype) * (w_scale * sv)[None, :].astype(out_dtype))
+        Pt = contract(T, [U[:, iu] * U[:, ju] for U in Uf], 1.0)
+        b = contract(Wt, Uf, w_scale)
         if packed:
             return Pt, b
         n_focus = dims[focus_axis]

@@ -170,7 +170,7 @@ class ShardedProblem:
                     M, W = dg.build_dense_pair(idx_p, centered, dims,
                                                store_np, perm=perm_order)
                     q8 = (dg.quantize_dense_pair(M, W)
-                          if config.dense_int8 and rel.arity == 2 else None)
+                          if config.dense_int8 else None)
                     if q8 is not None:
                         M, W, self.dense_w_scale[(ri, mode)] = q8
                         store = jnp.int8
@@ -746,8 +746,8 @@ def _dense_partner_n(problem: ShardedProblem, ri: int, mode: int):
     if problem.dense_w_scale.get((ri, mode)) is None:
         return None
     rs = problem.rel_specs[ri]
-    pd = [d for d in range(rs.arity) if d != mode][0]
-    return problem.ent_meta[rs.entity_ids[pd]].n
+    return [problem.ent_meta[rs.entity_ids[d]].n
+            for d in range(rs.arity) if d != mode]
 
 
 def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,

@@ -70,12 +70,14 @@ class MacauConfig:
     # per-mode pairs fit at ML-10M scale (2 x 3.06 GB bf16); modes that
     # do not fit fall back to the gather path (logged to stderr).
     dense_gram_budget_gb: float = 9.0
-    # s8 MXU path for dense MATRIX (arity-2) modes: store M/W as int8
-    # (exact counts; statically-scaled values) and quantize Y/V per sweep
-    # with per-output-column scales (ops/dense_gram.quantize_dense_pair).
-    # 2x the bf16 MXU rate and half the HBM stream; quantization noise is
-    # the same order as gram_dtype="bfloat16"'s rounding.  Tensor modes
-    # and the gather path are unaffected.
+    # s8 MXU path for dense modes: store M/W as int8 (exact counts;
+    # statically-scaled values) and quantize Y/V per sweep with
+    # per-output-column scales (ops/dense_gram.quantize_dense_pair).
+    # The largest partner axis contracts as an exact s8xs8->int32 dot
+    # (~1.45x the bf16 MXU rate, half the HBM stream); tensor relations
+    # finish the remaining small axes in f32.  Quantization noise is the
+    # same order as gram_dtype="bfloat16"'s rounding.  The gather path is
+    # unaffected.
     dense_int8: bool = False
 
     # --- beta solver (SURVEY §4.4) ---

@@ -215,7 +215,8 @@ def bench_tensor():
     rd.assign_to_test(0, 100_000, seed=7)
     cfg = MacauConfig(num_latent=r, burnin=15, psamples=0, verbose=False,
                       dtype="float32", gram_dtype="bfloat16", seed=42,
-                      bucket_widths=WIDTHS, sweeps_per_dispatch=15)
+                      bucket_widths=WIDTHS, sweeps_per_dispatch=15,
+                      dense_int8=True)
     eng = MacauEngine(rd, cfg)
     warm.join()
     dt, m = _time_engine(eng, 15, "tensor")

@@ -4,6 +4,7 @@ to reduction-order float error)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import dataclasses
 import pytest
 
 import bayesiandatafusion_jl_tpu as bdf
@@ -353,6 +354,12 @@ def test_sharded_dense_gram_tensor_multirel():
     cfg = MacauConfig(num_latent=2, burnin=1, psamples=2, verbose=False,
                       dtype="float64", dense_gram=True, seed=13)
     _compare_engines(build, cfg, n_sweeps=3)
+    # and the int8 store (largest-partner-axis s8 dot + f32 finish):
+    # parity must hold for tensor + multi-relation modes too
+    cfg8 = dataclasses.replace(cfg, dense_int8=True)
+    eng8 = ShardedMacauEngine(build(), cfg8, mesh=data_mesh())
+    assert eng8.problem.dense_w_scale, "int8 store did not engage"
+    _compare_engines(build, cfg8, n_sweeps=3)
 
 
 def test_sharded_sweeps_per_dispatch_bit_identical():
