@@ -85,7 +85,12 @@ def estimate_times(n_focus: int, np_comb: int, nnz: int, K: int,
     # bandwidth-bound.
     dense = (max(flops / _MXU_FLOPS, bytes_mw / _HBM_BPS)
              + bytes_mw / _HBM_BPS)
-    gather = nnz * _GATHER_S_PER_OBS
+    # The gather path's cost is calibrated at K=32 and grows ~K^2 beyond
+    # it: the per-observation row gather moves K-proportional bytes and
+    # the segment-sum streams [rows, K^2] scatter traffic (measured at
+    # K=96/ML-10M: 240 ms total vs the model's 29 ms unscaled — the auto
+    # plan declined dense and ran 4.6x slower than FLOP scaling).
+    gather = nnz * _GATHER_S_PER_OBS * max(1.0, (K / 32.0) ** 2)
     return dense, gather
 
 
