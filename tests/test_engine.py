@@ -324,6 +324,20 @@ def test_dense_int8_close_to_f32():
     assert abs(r32 - r8) < 0.02, (r32, r8)
 
 
+def test_dense_plan_fires_at_high_rank():
+    """The auto dense-plan gather estimate scales ~K^2: at ML-10M shape the
+    dense path must be chosen at K=96 as well as K=32 (at K=96 the gather
+    path measured 4.6x slower than FLOP scaling when the plan declined)."""
+    from bayesiandatafusion_jl_tpu.ops.dense_gram import plan_dense_modes
+    shape, nnz = (71567, 10681), 10_000_054
+    for K in (32, 96):
+        plans, _, _ = plan_dense_modes([shape], [nnz], K, None, 9e9, 2)
+        assert (0, 0) in plans and (0, 1) in plans, (K, plans.keys())
+    # tiny problems still stay on the gather path (test-suite seam)
+    plans, _, _ = plan_dense_modes([(50, 40)], [1000], 32, None, 9e9, 2)
+    assert not plans
+
+
 def test_dense_gram_contrib_int8_close():
     """Unit closeness of the quantized contraction against the f32 one."""
     import jax.numpy as jnp
