@@ -566,14 +566,15 @@ class MacauEngine(GibbsDriverMixin):
             gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
             fuse = use_pallas_chol(cfg)
             # packed-triangle fast path: when EVERY contribution is dense
-            # and the unrolled Pallas sampler applies, keep P in the
-            # einsum's native [N, K(K+1)/2] packing end to end — no
-            # [N, K^2] expand pass, half the P HBM into the kernel.
-            # Bit-identical to the expand+full path (same values, same
-            # accumulation order; ops/pallas_chol.chol_sample_packed).
-            if (fuse and K <= 32 and dense_contribs and not contribs
+            # and a packed Pallas sampler applies (K <= 32 unrolled,
+            # 32 < K <= 96 column-slab), keep P in the einsum's native
+            # [N, K(K+1)/2] packing end to end — no [N, K^2] expand pass,
+            # half the P HBM into the kernel.  Bit-identical to the
+            # expand+full path (same values, same accumulation order;
+            # ops/pallas_chol.chol_sample_packed*).
+            if (fuse and K <= 96 and dense_contribs and not contribs
                     and cfg.accumulation != "planned"):
-                from ..ops.pallas_chol import chol_sample_packed
+                from ..ops.pallas_chol import chol_sample_packed_dispatch
                 b_acc = prior_mean @ Lambda
                 Pp_acc = None
                 for alpha, partners, ri, mode, plan in dense_contribs:
@@ -589,7 +590,7 @@ class MacauEngine(GibbsDriverMixin):
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
-                ent["U"] = chol_sample_packed(
+                ent["U"] = chol_sample_packed_dispatch(
                     Pp_acc, b_acc, randoms[f"e{ei}.xi"], Lambda,
                     cfg.chol_jitter)
                 ents[ei] = ent

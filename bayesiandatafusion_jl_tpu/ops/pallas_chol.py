@@ -239,6 +239,121 @@ def chol_sample_packed(Pp: jax.Array, b: jax.Array, xi: jax.Array,
     return out.T[:B]
 
 
+def _tri_offsets(K: int):
+    """off[j] = packed index of the diagonal (j, j) in np.triu_indices
+    row-major order.  Upper-triangle ROW-major is lower-triangle
+    COLUMN-major under symmetry: packed[off[j] + (k - j)] == L-column
+    entry (k, j) for k >= j — so every column slab the Cholesky
+    recurrence touches is a CONTIGUOUS sublane range at a static offset."""
+    return [j * K - j * (j - 1) // 2 for j in range(K)]
+
+
+def _chol_sample_packed_slab_kernel(P_ref, lam_ref, b_ref, xi_ref, u_ref,
+                                    A, R, U, *, K: int):
+    """Packed-triangle column-slab sampler for 32 < K <= 96: P arrives as
+    the [K(K+1)/2, T] symmetric packing the dense-Gramian einsum emits
+    natively — no [N, K^2] expand pass, no [K, K, N] transpose, and the
+    kernel streams HALF the P bytes of the full slab kernel.  The slab
+    statements are a 1:1 offset translation of _chol_sample_slab_kernel
+    (same values, same op order).  Lambda arrives packed+lane-broadcast
+    and is added on load (the full-P path pays an [N,K,K] XLA
+    broadcast-add instead)."""
+    off = _tri_offsets(K)
+    A[...] = P_ref[...] + lam_ref[...]
+    for j in range(K):
+        oj = off[j]
+        d = jnp.sqrt(A[oj, :])
+        inv = 1.0 / d
+        A[oj, :] = d
+        if j + 1 < K:
+            A[oj + 1:oj + K - j, :] = A[oj + 1:oj + K - j, :] * inv[None, :]
+        for k in range(j + 1, K):
+            ok = off[k]
+            A[ok:ok + K - k, :] = (A[ok:ok + K - k, :]
+                                   - A[oj + k - j:oj + K - j, :]
+                                   * A[oj + k - j, :][None, :])
+
+    # forward solve L y = b (y overwrites R); L[k:, j] = A[off_j + k - j]
+    R[...] = b_ref[...]
+    for k in range(K):
+        ok = off[k]
+        yk = R[k, :] / A[ok, :]
+        R[k, :] = yk
+        if k + 1 < K:
+            R[k + 1:, :] = (R[k + 1:, :]
+                            - A[ok + 1:ok + K - k, :] * yk[None, :])
+
+    # backward solve L^T u = y + xi (column-oriented)
+    R[...] = R[...] + xi_ref[...]
+    for i in range(K - 1, -1, -1):
+        oi = off[i]
+        v = R[i, :]
+        if i + 1 < K:
+            v = v - jnp.sum(A[oi + 1:oi + K - i, :] * U[i + 1:, :], axis=0)
+        U[i, :] = v / A[oi, :]
+    u_ref[...] = U[...]
+
+
+def chol_sample_packed_tiled(Pp: jax.Array, b: jax.Array, xi: jax.Array,
+                             Lambda: jax.Array, jitter: float = 0.0,
+                             tile: int = 512) -> jax.Array:
+    """Packed-triangle fused sampler for 32 < K <= 96 (column-slab kernel):
+    Pp [B, K(K+1)/2] in np.triu_indices order, P' = unpack(Pp) + Lambda
+    (+ jitter I)."""
+    B, C = Pp.shape
+    K = b.shape[-1]
+    assert C == K * (K + 1) // 2
+    dtype = Pp.dtype
+    lam = Lambda.astype(dtype)
+    if jitter:
+        lam = lam + jitter * jnp.eye(K, dtype=dtype)
+    iu, ju = np.triu_indices(K)
+    lam_p = lam[iu, ju]                       # [C] packed (symmetric)
+    # VMEM: A scratch + P block + lam block = 3 * C * tile * 4B
+    while 3 * C * tile * 4 > 9_500_000 and tile > 128:
+        tile //= 2
+    pad = (-B) % tile
+    if pad:
+        # padded lanes get P = 0 and factor 0 + Lambda (PD) — no NaNs
+        Pp = jnp.concatenate([Pp, jnp.zeros((pad, C), dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
+    Bp = B + pad
+    lam_b = jnp.broadcast_to(lam_p[:, None], (C, tile))
+    out = pl.pallas_call(
+        functools.partial(_chol_sample_packed_slab_kernel, K=K),
+        grid=(Bp // tile,),
+        in_specs=[
+            pl.BlockSpec((C, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tile), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((C, tile), dtype),
+                        pltpu.VMEM((K, tile), dtype),
+                        pltpu.VMEM((K, tile), dtype)],
+    )(Pp.T, lam_b, b.T, xi.T)
+    return out.T[:B]
+
+
+def chol_sample_packed_dispatch(Pp: jax.Array, b: jax.Array, xi: jax.Array,
+                                Lambda: jax.Array,
+                                jitter: float = 0.0) -> jax.Array:
+    """Packed-precision sampler across the K ladder: unrolled kernel for
+    K <= 32, packed column-slab kernel for 32 < K <= 96."""
+    K = b.shape[-1]
+    if K <= 32:
+        return chol_sample_packed(Pp, b, xi, Lambda, jitter)
+    return chol_sample_packed_tiled(Pp, b, xi, Lambda, jitter)
+
+
 def _chol_inv_slab_kernel(P_ref, W_ref, A, *, K: int):
     """Factor P = L L^T (column-slab recurrence, as the sampler kernel)
     and emit W = L^{-1} — the building block of the BLOCKED K > 96 path

@@ -842,10 +842,10 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         # Dense modes never head-split (row-balanced MXU work), so the
         # ghost-fold machinery is structurally idle when this fires.
         packed_P = None
-        if (use_pallas_chol(cfg) and K <= 32 and dense_contribs
+        if (use_pallas_chol(cfg) and K <= 96 and dense_contribs
                 and not contribs and not meta.n_head
                 and cfg.accumulation != "planned"):
-            from ..ops.pallas_chol import chol_sample_packed
+            from ..ops.pallas_chol import chol_sample_packed_dispatch  # noqa: F401
             b_acc = prior_mean @ Lambda
             for alpha, partners, ri, mode, dims_sh in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
@@ -913,9 +913,9 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
 
         def _samp(sl):
             if packed_P is not None:
-                from ..ops.pallas_chol import chol_sample_packed
-                return chol_sample_packed(packed_P[sl], b_acc[sl],
-                                          xi_loc[sl], Lambda,
+                from ..ops.pallas_chol import chol_sample_packed_dispatch
+                return chol_sample_packed_dispatch(packed_P[sl], b_acc[sl],
+                                                   xi_loc[sl], Lambda,
                                           cfg.chol_jitter)
             return chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
                                         xi_loc[sl], Lambda=fused_lam)

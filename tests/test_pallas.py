@@ -117,6 +117,28 @@ def test_pallas_chol_packed_matches_xla(interpret_pallas):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_chol_packed_tiled_matches_xla(interpret_pallas):
+    """Packed column-slab sampler (32 < K <= 96): offset-translated slab
+    recurrence on the triu-packed P must match the XLA reference."""
+    from bayesiandatafusion_jl_tpu.ops.pallas_chol import (
+        chol_sample_packed_tiled)
+    rng = np.random.default_rng(7)
+    B, K = 9, 40
+    A = rng.standard_normal((B, K, K)).astype(np.float32) * 0.2
+    P = A @ A.transpose(0, 2, 1)
+    Lam = (2 * np.eye(K) + 0.05).astype(np.float32)
+    b = rng.standard_normal((B, K)).astype(np.float32)
+    xi = rng.standard_normal((B, K)).astype(np.float32)
+    iu, ju = np.triu_indices(K)
+    Pp = P[:, iu, ju]
+    want = np.asarray(chol_sample(jnp.asarray(P + Lam), jnp.asarray(b),
+                                  jnp.asarray(xi), jitter=0.25))
+    got = np.asarray(chol_sample_packed_tiled(
+        jnp.asarray(Pp), jnp.asarray(b), jnp.asarray(xi),
+        jnp.asarray(Lam), jitter=0.25, tile=8))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+
 def test_engine_dense_packed_matches_full(interpret_pallas):
     """All-dense entity + pallas => packed-triangle pipeline (engine.py);
     must match the pallas='off' dense path on the same seed."""
@@ -136,20 +158,21 @@ def test_engine_dense_packed_matches_full(interpret_pallas):
         rd.assign_to_test(0, 50, seed=2)
         return rd
 
-    outs = {}
-    for pallas in ("on", "off"):
-        cfg = MacauConfig(num_latent=k, burnin=2, psamples=2,
-                          verbose=False, dtype="float32", seed=9,
-                          pallas=pallas, dense_gram=True)
-        eng = MacauEngine(build(), cfg)
-        if pallas == "on":   # confirm the packed gate actually fires
-            assert eng.problem.dense_plans
-        outs[pallas] = eng.run()
-    np.testing.assert_allclose(outs["on"]["RMSE"], outs["off"]["RMSE"],
-                               rtol=5e-4, atol=5e-4)
-    a = np.asarray(outs["on"]["state"]["ent"][0]["U"])
-    b_ = np.asarray(outs["off"]["state"]["ent"][0]["U"])
-    np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
+    for k_lat in (k, 34):   # 34 exercises the 32 < K <= 96 packed slab
+        outs = {}
+        for pallas in ("on", "off"):
+            cfg = MacauConfig(num_latent=k_lat, burnin=2, psamples=2,
+                              verbose=False, dtype="float32", seed=9,
+                              pallas=pallas, dense_gram=True)
+            eng = MacauEngine(build(), cfg)
+            if pallas == "on":   # confirm the packed gate actually fires
+                assert eng.problem.dense_plans
+            outs[pallas] = eng.run()
+        np.testing.assert_allclose(outs["on"]["RMSE"], outs["off"]["RMSE"],
+                                   rtol=5e-4, atol=5e-4)
+        a = np.asarray(outs["on"]["state"]["ent"][0]["U"])
+        b_ = np.asarray(outs["off"]["state"]["ent"][0]["U"])
+        np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
 
 
 def test_unknown_accumulation_rejected():
