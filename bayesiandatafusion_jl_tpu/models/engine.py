@@ -103,18 +103,25 @@ class CompiledProblem:
                     else config.np_dtype())
         store_jnp = (jnp.bfloat16 if config.gram_dtype == "bfloat16"
                      else jnp.dtype(config.dtype))
+        # int8 eligibility is decided from the observation index (layout-
+        # invariant) so this engine and the sharded one always agree
+        i8_ok = [config.dense_int8
+                 and dg.int8_pair_ok(rel.data.idx,
+                                     [e.count for e in rel.entities])
+                 for rel in rd.relations]
+        base_item = jnp.dtype(store_jnp).itemsize
         self.dense_plans, _dense_canon, _dense_copies = dg.plan_dense_modes(
             [tuple(e.count for e in rel.entities) for rel in rd.relations],
             [rel.data.nnz for rel in rd.relations], K,
             config.dense_gram, config.dense_gram_budget_gb * 1e9,
-            jnp.dtype(store_jnp).itemsize)
+            [1 if ok else base_item for ok in i8_ok])
         self.dense_w_scale: Dict[int, float] = {}  # ri -> static int8 scale
         for ri in sorted(_dense_canon):
             rel = rd.relations[ri]
             M, W = dg.build_dense_pair(
                 rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
                 [e.count for e in rel.entities], store_np)
-            q8 = dg.quantize_dense_pair(M, W) if config.dense_int8 else None
+            q8 = dg.quantize_dense_pair(M, W) if i8_ok[ri] else None
             if q8 is not None:
                 M8, W8, self.dense_w_scale[ri] = q8
                 arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M8),

@@ -100,7 +100,8 @@ def plan_dense_modes(
     K: int,
     dense_gram: Optional[bool],          # None=auto, False=off, True=force
     budget_bytes: float,
-    itemsize: int,
+    itemsize,                            # int, or per-relation sequence
+                                         # (1 for int8-eligible relations)
     per_mode_pairs: bool = False,        # sharded engine: every mode owns
                                          # its focus-sharded pair (no
                                          # canonical-array sharing)
@@ -127,13 +128,14 @@ def plan_dense_modes(
             continue
         if dense_gram is None and nnz < _AUTO_MIN_NNZ:
             continue
+        its = itemsize[ri] if np.ndim(itemsize) else itemsize
         total = int(np.prod([int(s) for s in shape], dtype=np.int64))
-        pair_bytes = 2.0 * total * itemsize          # M + W (shared per rel)
+        pair_bytes = 2.0 * total * its               # M + W (shared per rel)
         for mode in range(len(shape)):
             n_focus = int(shape[mode])
             np_comb = total // n_focus
             dense_t, gather_t = estimate_times(n_focus, np_comb, nnz, K,
-                                               itemsize)
+                                               its)
             if dense_gram is None and dense_t > 0.7 * gather_t:
                 continue
             kind = "copy" if per_mode_pairs else "canonical"
@@ -147,7 +149,8 @@ def plan_dense_modes(
         total = int(np.prod([int(s) for s in shape], dtype=np.int64))
         need = extra
         if kind != "copy" and ri not in canonical:
-            need += 2.0 * total * itemsize
+            its = itemsize[ri] if np.ndim(itemsize) else itemsize
+            need += 2.0 * total * its
         if spent + need > budget_bytes:
             # no silent caps: a budget-declined mode silently riding the
             # (much slower) gather path cost a round of debugging once
@@ -219,31 +222,64 @@ def build_dense_pair(idx: np.ndarray, centered: np.ndarray,
     return M.reshape(n0, -1), W.reshape(n0, -1)
 
 
+def int8_pair_ok(idx: np.ndarray, shape: Sequence[int]) -> bool:
+    """Layout-INVARIANT int8 eligibility for one relation.
+
+    Both engines must make the SAME engage/decline decision or their
+    quantizations diverge (the single-device engine checks one canonical
+    pair per relation; the sharded engine one permuted pair per mode — a
+    guard computed from the stored 2-D layout's row/col sums gave
+    different answers per layout and broke the sharded==plain 1e-8
+    invariant).  Computed from the observation index alone:
+
+    - every M count (duplicate multiplicity) must fit int8, and
+    - for every mode, the int8 dot contracts ONLY the largest-partner
+      axis (matching dense_gram_contrib's choice by true counts), so the
+      int32 accumulator bound 127*127*fiber_count applies to fibers
+      along that axis — the max multiplicity of idx with that column
+      dropped."""
+    arity = idx.shape[1]
+    dims = [int(s) for s in shape]
+
+    def max_mult(cols):
+        if not cols:
+            return idx.shape[0]
+        lin = np.zeros(idx.shape[0], np.int64)
+        for d in cols:
+            lin = lin * dims[d] + idx[:, d].astype(np.int64)
+        if lin.size == 0:
+            return 0
+        _, c = np.unique(lin, return_counts=True)
+        return int(c.max())
+
+    if max_mult(list(range(arity))) > 127:
+        return False
+    deg_cap = (2**31) / (127.0 * 127.0)
+    for mode in range(arity):
+        parts = [d for d in range(arity) if d != mode]
+        big = parts[int(np.argmax([dims[d] for d in parts]))]
+        if max_mult([d for d in range(arity) if d != big]) >= deg_cap:
+            return False
+    return True
+
+
 def quantize_dense_pair(M: np.ndarray, W: np.ndarray):
     """int8-quantize a dense (M, W) pair for the s8 MXU path.
 
     M holds exact small observation counts (0/1 plus duplicates) — stored
     verbatim in int8.  W holds the centered-value sums; it is symmetric-
     quantized with ONE static per-relation scale ``w_scale`` so the
-    dequantization after the dot is a single broadcast multiply.  Returns
-    ``None`` when M's counts exceed int8 (pathologically duplicated
-    observations) — callers fall back to the bf16/f32 store.
+    dequantization after the dot is a single broadcast multiply.
+    Eligibility (counts fit int8; the exact-int32 dots cannot overflow)
+    is decided beforehand by :func:`int8_pair_ok` — from the observation
+    index, NOT this stored layout, so both engines decide identically.
 
     Precision: W's quantization step is ``max|W|/127`` — for rating-scale
     values that is ~0.8% of the max, the same order as bf16's 2^-9
     element-wise rounding that the default ``gram_dtype='bfloat16'`` path
     already accepts (r2 int8 probe + RMSE-parity run, docs/ROUND2_NOTES.md).
     """
-    if float(M.max(initial=0.0)) > 127.0:
-        return None
-    # overflow guard: the dots accumulate in EXACT int32 (order-independent
-    # — keeps sharded == plain bitwise); per-output-element magnitude is
-    # bounded by 127*127*degree, so the max degree along either contraction
-    # axis must stay under 2^31 / 127^2.
-    deg_cap = (2**31) / (127.0 * 127.0)
-    if (float(M.sum(axis=1).max(initial=0.0)) >= deg_cap
-            or float(M.sum(axis=0).max(initial=0.0)) >= deg_cap):
-        return None
+    assert float(M.max(initial=0.0)) <= 127.0, "int8_pair_ok not consulted"
     w_max = float(np.abs(W).max(initial=0.0))
     w_scale = (w_max / 127.0) or 1.0
     M8 = M.astype(np.int8)

@@ -137,11 +137,18 @@ class ShardedProblem:
         store_jnp = (jnp.bfloat16 if config.gram_dtype == "bfloat16"
                      else jnp.dtype(config.dtype))
         self.dense_w_scale: Dict[Tuple[int, int], float] = {}
+        # layout-invariant int8 eligibility — must match the single-device
+        # engine's decision (same helper, original idx + true counts)
+        i8_ok = [config.dense_int8
+                 and dg.int8_pair_ok(rel.data.idx,
+                                     [e.count for e in rel.entities])
+                 for rel in rd.relations]
+        base_item = jnp.dtype(store_jnp).itemsize
         self.dense_plans, _, _ = dg.plan_dense_modes(
             [tuple(e.count for e in rel.entities) for rel in rd.relations],
             [rel.data.nnz for rel in rd.relations], config.num_latent,
             config.dense_gram, config.dense_gram_budget_gb * 1e9,
-            jnp.dtype(store_jnp).itemsize, per_mode_pairs=True)
+            [1 if ok else base_item for ok in i8_ok], per_mode_pairs=True)
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -169,8 +176,7 @@ class ShardedProblem:
                             for d in range(rel.arity)]
                     M, W = dg.build_dense_pair(idx_p, centered, dims,
                                                store_np, perm=perm_order)
-                    q8 = (dg.quantize_dense_pair(M, W)
-                          if config.dense_int8 else None)
+                    q8 = dg.quantize_dense_pair(M, W) if i8_ok[ri] else None
                     if q8 is not None:
                         M, W, self.dense_w_scale[(ri, mode)] = q8
                         store = jnp.int8
@@ -845,7 +851,6 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         if (use_pallas_chol(cfg) and K <= 96 and dense_contribs
                 and not contribs and not meta.n_head
                 and cfg.accumulation != "planned"):
-            from ..ops.pallas_chol import chol_sample_packed_dispatch  # noqa: F401
             b_acc = prior_mean @ Lambda
             for alpha, partners, ri, mode, dims_sh in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):

@@ -175,6 +175,63 @@ def test_engine_dense_packed_matches_full(interpret_pallas):
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
 
 
+def test_sharded_packed_tiled_matches_single(interpret_pallas):
+    """32 < K <= 96 packed column-slab path on the SHARDED engine: the
+    8-device run (exchange-block slicing + per-chunk kernel padding) must
+    match the single-device packed run at 1e-8 (f64, interpret kernels)."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
+    from bayesiandatafusion_jl_tpu.parallel.sharded import ShardedMacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(13)
+    n1, n2 = 37, 29
+    R = rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.6
+
+    def build():
+        df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask],
+                           (n1, n2))
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 40, seed=2)
+        return rd
+
+    cfg = MacauConfig(num_latent=34, burnin=1, psamples=1, verbose=False,
+                      dtype="float64", pallas="on", dense_gram=True,
+                      exchange_blocks=2, seed=11)
+    e1 = MacauEngine(build(), cfg)
+    r1 = e1.run(num_sweeps=2)
+    e8 = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    r8 = e8.run(num_sweeps=2)
+    U8 = e8.factors_original_order(r8["state"][0])
+    for ei in range(2):
+        np.testing.assert_allclose(
+            U8[ei], np.asarray(r1["state"]["ent"][ei]["U"]),
+            rtol=1e-8, atol=1e-8)
+
+
+def test_int8_pair_ok_layout_invariant_guards():
+    """Eligibility comes from the observation index, not a stored layout:
+    counts beyond int8 and int32-overflowable big-axis fibers decline."""
+    from bayesiandatafusion_jl_tpu.ops.dense_gram import int8_pair_ok
+    rng = np.random.default_rng(3)
+    idx = np.stack([rng.integers(0, 10, 500), rng.integers(0, 8, 500),
+                    rng.integers(0, 5, 500)], 1)
+    assert int8_pair_ok(idx, (10, 8, 5))
+    # duplicate multiplicity > 127
+    dup = np.tile(np.array([[1, 2, 3]]), (130, 1))
+    assert not int8_pair_ok(np.concatenate([idx, dup]), (10, 8, 5))
+    # a fiber along the big partner axis (axis 1) that would overflow the
+    # int32 accumulator: 140k observations at fixed (axis0, axis2)
+    n_fib = 140_000
+    fib = np.stack([np.zeros(n_fib, np.int64),
+                    rng.integers(0, 200_000, n_fib),
+                    np.zeros(n_fib, np.int64)], 1)
+    assert not int8_pair_ok(fib, (10, 200_000, 5))
+
+
 def test_unknown_accumulation_rejected():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
     with pytest.raises(ValueError):
