@@ -283,7 +283,12 @@ def quantize_dense_pair(M: np.ndarray, W: np.ndarray):
     w_max = float(np.abs(W).max(initial=0.0))
     w_scale = (w_max / 127.0) or 1.0
     M8 = M.astype(np.int8)
-    W8 = np.clip(np.round(W / w_scale), -127, 127).astype(np.int8)
+    # in place: the out-of-place chain allocated 4 GB-scale temporaries
+    # (53 s + swap pressure at ML-10M size); callers discard W after this
+    np.divide(W, w_scale, out=W)
+    np.rint(W, out=W)
+    np.clip(W, -127, 127, out=W)
+    W8 = W.astype(np.int8)
     return M8, W8, w_scale
 
 
