@@ -406,9 +406,13 @@ def dense_gram_contrib(
                  * (extra_scale * sa).astype(out_dtype))
             if spec_f32 is None:
                 return S
-            small = [t.astype(out_dtype)
+            # step 2 streams the [rem..., z] intermediate back through the
+            # VPU — run it at op_dtype (bf16 under gram_dtype="bfloat16",
+            # halving the dominant traffic; f64 in the oracle/parity seam,
+            # keeping 1e-8 engine parity), accumulate in out_dtype
+            small = [t.astype(op_dtype)
                      for i, t in enumerate(tables) if i != bi]
-            return jnp.einsum(spec_f32, S, *small,
+            return jnp.einsum(spec_f32, S.astype(op_dtype), *small,
                               preferred_element_type=out_dtype)
 
         iu, ju, expand = _tri_maps(K)
