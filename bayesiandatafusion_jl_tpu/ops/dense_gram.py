@@ -394,8 +394,8 @@ def dense_gram_contrib(
                     + "->" + letters[focus_axis] + "z") if len(dims) > 2 \
             else None
 
-        def contract(T8, tables, extra_scale):
-            A8, sa = _quantize_cols(tables[bi], nv[bi])
+        def contract(T8, big_q, small_tables, extra_scale):
+            A8, sa = big_q
             # dequantize and finish in OUT_DTYPE: under f64 the step-2
             # reduction's rounding must stay at f64 scale or the sharded
             # slab's different S layout (hence reduce order) breaks the
@@ -410,14 +410,35 @@ def dense_gram_contrib(
             # VPU — run it at op_dtype (bf16 under gram_dtype="bfloat16",
             # halving the dominant traffic; f64 in the oracle/parity seam,
             # keeping 1e-8 engine parity), accumulate in out_dtype
-            small = [t.astype(op_dtype)
-                     for i, t in enumerate(tables) if i != bi]
+            small = [t.astype(op_dtype) for t in small_tables]
             return jnp.einsum(spec_f32, S.astype(op_dtype), *small,
                               preferred_element_type=out_dtype)
 
         iu, ju, expand = _tri_maps(K)
-        Pt = contract(T, [U[:, iu] * U[:, ju] for U in Uf], 1.0)
-        b = contract(Wt, Uf, w_scale)
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, jnp.float32)
+
+        def q8_table(U, n_val):
+            # BOUND per-column scales for the big packed-triangle table:
+            # s_c = colmax|U|[iu_c] * colmax|U|[ju_c] / 127 needs only a
+            # [*, K] column-max pass, so XLA fuses product+quantize into
+            # ONE int8-emitting pass — no f32 [*, K(K+1)/2] table ever
+            # materializes and no [*, C] abs-reduce runs.  Up to ~2 bits
+            # coarser than exact column maxes; measured IDENTICAL
+            # rmse_sample@40/rmse_avg on ML-10M r32 and +2.2% throughput
+            # (docs/ROUND2_NOTES.md r2s5).  colmax over the valid prefix
+            # keeps it layout-invariant for engine parity.
+            Uv = U if n_val is None else U[:n_val]
+            cm = jnp.max(jnp.abs(Uv), axis=0)
+            s = jnp.maximum(cm[iu] * cm[ju] / 127.0, tiny)
+            q = jnp.clip(jnp.round((U[:, iu] * U[:, ju]) / s),
+                         -127.0, 127.0).astype(jnp.int8)
+            return q, s
+
+        Pt = contract(T, q8_table(Uf[bi], nv[bi]),
+                      [U[:, iu] * U[:, ju]
+                       for i, U in enumerate(Uf) if i != bi], 1.0)
+        b = contract(Wt, _quantize_cols(Uf[bi], nv[bi]),
+                     [U for i, U in enumerate(Uf) if i != bi], w_scale)
         if packed:
             return Pt, b
         n_focus = dims[focus_axis]
