@@ -42,10 +42,11 @@ def config():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
 
     # dense_gram=True: the two-process run also covers sharded device_put
-    # of the dense M/W slabs and the dense feature operand
+    # of the dense M/W slabs and the dense feature operand; dense_int8
+    # covers the int8 slab stores + quantized contraction across processes
     return MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
                        dtype="float64", use_ff=False, cg_tol=1e-12, seed=7,
-                       dense_gram=True)
+                       dense_gram=True, dense_int8=True)
 
 
 N_SWEEPS = 3
