@@ -190,8 +190,9 @@ def bench_chembl():
     solver = eng.problem.entity_specs[0].solver
     extra = (f"cg_iters={m['e0.cg_iters']:.0f}" if "e0.cg_iters" in m
              else f"solver={solver}")
+    auc = f", auc={m['r0.auc']:.4f}" if "r0.auc" in m else ""
     _emit(f"chembl macau rows/s/chip (rmse_avg={m['r0.rmse_avg']:.4f}, "
-          f"{extra})", n_rows / dt)
+          f"{extra}{auc})", n_rows / dt)
 
 
 def bench_tensor():
