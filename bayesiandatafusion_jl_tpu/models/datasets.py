@@ -122,9 +122,12 @@ def synthetic_chembl(n_compounds: int = 15_000, n_targets: int = 346,
     t = rng.integers(0, n_targets, int(nnz * 1.3))
     key = np.unique(c.astype(np.int64) * n_targets + t)[:nnz]
     c, t = key // n_targets, key % n_targets
-    pic50 = 6.0 + np.sum(Uc[c] * Ut[t], axis=1) / np.sqrt(rank) \
+    # values on the log10(IC50 nM) scale that CLASS_CUT_IC50 = log10(200)
+    # applies to (active <=> value < cut, the reference README convention)
+    # — centered near the cut so the classification split is non-degenerate
+    lic50 = 2.0 + np.sum(Uc[c] * Ut[t], axis=1) / np.sqrt(rank) \
         + 0.3 * rng.standard_normal(len(c))
-    df = IndexedDF(np.stack([c, t], axis=1), pic50,
+    df = IndexedDF(np.stack([c, t], axis=1), lic50,
                    (n_compounds, n_targets))
     rd = RelationData.from_matrix(df, feat1=F,
                                   names=("compound", "target"),
