@@ -100,9 +100,11 @@ def synthetic_chembl(n_compounds: int = 15_000, n_targets: int = 346,
                      n_features: int = 32_000, nnz: int = 300_000,
                      feat_per_compound: int = 40, rank: int = 16,
                      seed: int = 0) -> RelationData:
-    """ChEMBL-IC50-shaped fusion problem: compound x target pIC50 with
-    sparse binary ECFP-like compound features driving the latents
-    (SURVEY §1: the Macau paper's benchmark shape)."""
+    """ChEMBL-IC50-shaped fusion problem: compound x target activities on
+    the log10(IC50 nM) scale (active <=> value < CLASS_CUT_IC50 =
+    log10(200), the reference README convention) with sparse binary
+    ECFP-like compound features driving the latents (SURVEY §1: the Macau
+    paper's benchmark shape)."""
     rng = np.random.default_rng(seed)
     # sparse binary features
     fr = np.repeat(np.arange(n_compounds),

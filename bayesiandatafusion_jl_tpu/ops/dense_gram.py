@@ -283,8 +283,11 @@ def quantize_dense_pair(M: np.ndarray, W: np.ndarray):
     w_max = float(np.abs(W).max(initial=0.0))
     w_scale = (w_max / 127.0) or 1.0
     M8 = M.astype(np.int8)
-    # in place: the out-of-place chain allocated 4 GB-scale temporaries
-    # (53 s + swap pressure at ML-10M size); callers discard W after this
+    # DESTRUCTIVE: W is quantized in place — the out-of-place chain
+    # allocated 4 GB-scale temporaries (53 s + swap pressure at ML-10M
+    # size).  Callers must treat W as consumed; in particular do NOT
+    # jnp.asarray(W) before this call — on the CPU backend that is a
+    # ZERO-COPY alias and the mutation races the async device computation.
     np.divide(W, w_scale, out=W)
     np.rint(W, out=W)
     np.clip(W, -127, 127, out=W)
@@ -307,10 +310,20 @@ def _quantize_cols(A: jax.Array, n_valid: Optional[int] = None):
     (and thus the quantized values and the exact-int32 dots) bitwise equal
     to the single-device engine's."""
     Av = A if n_valid is None else A[:n_valid]
-    s = jnp.max(jnp.abs(Av), axis=0) / 127.0
-    s = jnp.maximum(s, jnp.asarray(np.finfo(np.float32).tiny, A.dtype))
-    q = jnp.clip(jnp.round(A / s), -127.0, 127.0).astype(jnp.int8)
-    return q, s
+    s = _floor_scale(jnp.max(jnp.abs(Av), axis=0) / 127.0, A.dtype)
+    return _q8(A, s), s
+
+
+def _floor_scale(s: jax.Array, dtype) -> jax.Array:
+    return jnp.maximum(s, jnp.asarray(np.finfo(np.float32).tiny, dtype))
+
+
+def _q8(A: jax.Array, s: jax.Array) -> jax.Array:
+    """Symmetric int8 quantization of A against per-column scales s — the
+    ONE copy of the load-bearing round/clip convention (both the exact and
+    the bounded scale paths must quantize identically or the Pt and b dots
+    diverge between engines)."""
+    return jnp.clip(jnp.round(A / s), -127.0, 127.0).astype(jnp.int8)
 
 
 _tri_cache = {}
@@ -415,7 +428,6 @@ def dense_gram_contrib(
                               preferred_element_type=out_dtype)
 
         iu, ju, expand = _tri_maps(K)
-        tiny = jnp.asarray(np.finfo(np.float32).tiny, jnp.float32)
 
         def q8_table(U, n_val):
             # BOUND per-column scales for the big packed-triangle table:
@@ -429,10 +441,8 @@ def dense_gram_contrib(
             # keeps it layout-invariant for engine parity.
             Uv = U if n_val is None else U[:n_val]
             cm = jnp.max(jnp.abs(Uv), axis=0)
-            s = jnp.maximum(cm[iu] * cm[ju] / 127.0, tiny)
-            q = jnp.clip(jnp.round((U[:, iu] * U[:, ju]) / s),
-                         -127.0, 127.0).astype(jnp.int8)
-            return q, s
+            s = _floor_scale(cm[iu] * cm[ju] / 127.0, U.dtype)
+            return _q8(U[:, iu] * U[:, ju], s), s
 
         Pt = contract(T, q8_table(Uf[bi], nv[bi]),
                       [U[:, iu] * U[:, ju]

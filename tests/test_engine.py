@@ -349,7 +349,10 @@ def test_dense_gram_contrib_int8_close():
     vals = rng.standard_normal(idx.shape[0])
     M, W = dg.build_dense_pair(idx, vals, (n, np_), np.float32)
     Up = jnp.asarray(rng.standard_normal((np_, k)), jnp.float32)
-    P0, b0 = dg.dense_gram_contrib(jnp.asarray(M), jnp.asarray(W), [Up],
+    # copies: quantize_dense_pair consumes W in place, and jnp.asarray of
+    # host f32 is a zero-copy alias on the CPU backend
+    P0, b0 = dg.dense_gram_contrib(jnp.asarray(M.copy()),
+                                   jnp.asarray(W.copy()), [Up],
                                    0, (n, np_), jnp.float32, jnp.float32)
     M8, W8, ws = dg.quantize_dense_pair(M, W)
     P1, b1 = dg.dense_gram_contrib(jnp.asarray(M8), jnp.asarray(W8), [Up],
