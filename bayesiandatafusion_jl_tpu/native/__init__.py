@@ -56,5 +56,12 @@ def lib() -> Optional[ctypes.CDLL]:
     L.bdf_write_sbm.restype = _i32
     L.bdf_write_sbm.argtypes = [ctypes.c_char_p, _i64, _i64, _i64, _p_i32,
                                 _p_i32]
+    L.bdf_accum_dense_pair.restype = _i32
+    L.bdf_accum_dense_pair.argtypes = [_i64, _p_i64, _p_f64, _i64, _p_f32,
+                                       _p_f32]
+    L.bdf_quantize_pair.restype = ctypes.c_double
+    L.bdf_quantize_pair.argtypes = [_i64, _p_f32, _p_f32,
+                                    ctypes.POINTER(ctypes.c_int8),
+                                    ctypes.POINTER(ctypes.c_int8)]
     _lib = L
     return _lib

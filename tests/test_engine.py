@@ -362,6 +362,38 @@ def test_dense_gram_contrib_int8_close():
     np.testing.assert_allclose(b1, b0, atol=0.03 * float(jnp.abs(b0).max()))
 
 
+def test_native_dense_pair_matches_numpy():
+    """C++ accumulate/quantize fast paths (native/layout.cpp) must be
+    bitwise equal to the NumPy fallbacks, including mode permutations."""
+    from bayesiandatafusion_jl_tpu import native
+    from bayesiandatafusion_jl_tpu.ops import dense_gram as dg
+    if native.lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    idx = np.stack([rng.integers(0, 30, 2000), rng.integers(0, 20, 2000),
+                    rng.integers(0, 7, 2000)], 1).astype(np.int32)
+    cen = rng.standard_normal(2000)
+    for perm in (None, (1, 0, 2), (2, 0, 1)):
+        Mn, Wn = dg.build_dense_pair(idx, cen, (30, 20, 7), np.float32,
+                                     perm=perm)
+        Mp = dg._accum_dense_pair_native(
+            idx, cen, ([30, 20, 7] if perm is None
+                       else [(30, 20, 7)[p] for p in perm]),
+            perm, Mn.size)
+        assert Mp is not None
+        np.testing.assert_array_equal(Mp[0].reshape(Mn.shape), Mn)
+        np.testing.assert_array_equal(Mp[1].reshape(Wn.shape), Wn)
+        M8n, W8n, wsn = dg._quantize_pair_native(Mn, Wn)
+        w_max = float(np.abs(Wn).max())
+        ws = (w_max / 127.0) or 1.0
+        W8_ref = np.clip(np.rint(Wn / np.float32(ws)),
+                         -127, 127).astype(np.int8)
+        assert wsn == ws
+        np.testing.assert_array_equal(W8n, W8_ref)
+        np.testing.assert_array_equal(M8n, Mn.astype(np.int8))
+
+
 def test_config_yaml_roundtrip(tmp_path):
     cfg = MacauConfig(num_latent=16, burnin=7, clamp=(1.0, 5.0),
                       gram_dtype="bfloat16", bucket_widths=(8, 64))
