@@ -42,6 +42,18 @@ def lib() -> Optional[ctypes.CDLL]:
         L = ctypes.CDLL(_SO)
     except OSError:
         return None
+    try:
+        _declare(L)
+    except AttributeError:
+        # a stale library mapped by an earlier dlopen of the same path
+        # (dlopen caches per-process) — fall back to NumPy rather than
+        # crash callers mid-build
+        return None
+    _lib = L
+    return _lib
+
+
+def _declare(L: ctypes.CDLL) -> None:
     L.bdf_plan_layout.restype = _i64
     L.bdf_plan_layout.argtypes = [_i64, _i32, _i32, _i64, _p_i32, _p_i64,
                                   _i32, _p_i64, _p_i64]
@@ -63,5 +75,3 @@ def lib() -> Optional[ctypes.CDLL]:
     L.bdf_quantize_pair.argtypes = [_i64, _p_f32, _p_f32,
                                     ctypes.POINTER(ctypes.c_int8),
                                     ctypes.POINTER(ctypes.c_int8)]
-    _lib = L
-    return _lib
