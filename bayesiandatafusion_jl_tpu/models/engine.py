@@ -126,6 +126,12 @@ class CompiledProblem:
                 M8, W8, self.dense_w_scale[ri] = q8
                 arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M8),
                                              "W": jnp.asarray(W8)}
+                # static per-mode observation counts for the int8 PD ridge
+                for mode in range(rel.arity):
+                    deg = np.bincount(rel.data.idx[:, mode],
+                                      minlength=rel.entities[mode].count)
+                    arrays["dense"][f"r{ri}"][f"deg_m{mode}"] = \
+                        jnp.asarray(deg, jnp.float32)
                 del M8, W8
             else:
                 arrays["dense"][f"r{ri}"] = {"M": jnp.asarray(M, store_jnp),
@@ -593,7 +599,8 @@ class MacauEngine(GibbsDriverMixin):
                         P_p, b_d = dense_gram_contrib(
                             st["M"], st["W"], partners, mode, dims, dtype,
                             mdt, packed=True,
-                            w_scale=self.problem.dense_w_scale.get(ri))
+                            w_scale=self.problem.dense_w_scale.get(ri),
+                            ridge_deg=st.get(f"deg_m{mode}"))
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
@@ -627,7 +634,8 @@ class MacauEngine(GibbsDriverMixin):
                     dims.insert(mode, plan.n_focus)
                     P_d, b_d = dense_gram_contrib(
                         st["M"], st["W"], partners, mode, dims, dtype, mdt,
-                        w_scale=self.problem.dense_w_scale.get(ri))
+                        w_scale=self.problem.dense_w_scale.get(ri),
+                        ridge_deg=st.get(f"deg_m{mode}"))
                     P_acc = P_acc + alpha * P_d
                     b_acc = b_acc + alpha * b_d
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,

@@ -427,6 +427,8 @@ def dense_gram_contrib(
     packed: bool = False,
     w_scale: Optional[float] = None,
     n_valid: Optional[Sequence[Optional[int]]] = None,
+    ridge_deg: Optional[jax.Array] = None,  # static [n_focus] observation
+                                            # counts (int8 PD ridge)
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
@@ -499,25 +501,31 @@ def dense_gram_contrib(
                               preferred_element_type=out_dtype)
 
         iu, ju, expand = _tri_maps(K)
-
-        def q8_table(U, n_val):
-            # BOUND per-column scales for the big packed-triangle table:
-            # s_c = colmax|U|[iu_c] * colmax|U|[ju_c] / 127 needs only a
-            # [*, K] column-max pass, so XLA fuses product+quantize into
-            # ONE int8-emitting pass — no f32 [*, K(K+1)/2] table ever
-            # materializes and no [*, C] abs-reduce runs.  Up to ~2 bits
-            # coarser than exact column maxes; measured IDENTICAL
-            # rmse_sample@40/rmse_avg on ML-10M r32 and +2.2% throughput
-            # (docs/ROUND2_NOTES.md r2s5).  colmax over the valid prefix
-            # keeps it layout-invariant for engine parity.
-            Uv = U if n_val is None else U[:n_val]
-            cm = jnp.max(jnp.abs(Uv), axis=0)
-            s = _floor_scale(cm[iu] * cm[ju] / 127.0, U.dtype)
-            return _q8(U[:, iu] * U[:, ju], s), s
-
-        Pt = contract(T, q8_table(Uf[bi], nv[bi]),
+        # EXACT per-column scales for the big packed-triangle table (a
+        # bound-product variant was ~2% faster but its ~2x-coarser steps
+        # fed the instability below harder — reverted)
+        Yq = _quantize_cols(Uf[bi][:, iu] * Uf[bi][:, ju], nv[bi])
+        Pt = contract(T, Yq,
                       [U[:, iu] * U[:, ju]
                        for i, U in enumerate(Uf) if i != bi], 1.0)
+        # PD SAFETY RIDGE — load-bearing for long chains.  The per-row
+        # spectral quantization noise ~ sqrt(deg_i) * step * sqrt(K)
+        # rivals lambda_min(P) for weakly-determined rows; without this
+        # margin the sampler's occasional wide draws inflate the column
+        # maxes, coarsening every row's quantization — a feedback loop
+        # that drove BOTH ML-100k (sweep ~92) and ML-10M (sweep ~200) to
+        # a non-PD P and NaN (r2s5 forensics: a deg-53 row with exact
+        # lambda_min 2.13 quantized to -0.29).  Adding ~1.7 sigma of that
+        # noise to the diagonal (a deterministic <~2% precision bias —
+        # the same order as the quantization noise itself) keeps P PD;
+        # 400-sweep ML-100k / 500-sweep ML-10M runs hold rmse at the
+        # bf16 value.  deg is static; mean(s) tracks the live scales.
+        if ridge_deg is not None:
+            dc = jnp.asarray(np.nonzero(iu == ju)[0])
+            step = (jnp.mean(Yq[1]) * (0.5 * float(np.sqrt(K))))
+            ridge = (jnp.sqrt(ridge_deg.astype(jnp.float32))[:, None]
+                     * step).astype(out_dtype)
+            Pt = Pt.at[:, dc].add(ridge)
         b = contract(Wt, _quantize_cols(Uf[bi], nv[bi]),
                      [U for i, U in enumerate(Uf) if i != bi], w_scale)
         if packed:

@@ -187,6 +187,14 @@ class ShardedProblem:
                             M.reshape(n_dev, meta.n_loc, -1), store),
                         "W": jnp.asarray(
                             W.reshape(n_dev, meta.n_loc, -1), store)}
+                    if q8 is not None:
+                        # static focus-row observation counts (int8 PD
+                        # ridge), in the permuted+padded shard layout
+                        deg = np.bincount(idx_p[:, mode],
+                                          minlength=meta.n_pad)
+                        arrays_sh["dense"][f"r{ri}m{mode}"]["deg"] = \
+                            jnp.asarray(deg.reshape(n_dev, meta.n_loc),
+                                        jnp.float32)
                     del M, W
                     arrays_sh["layouts"][f"r{ri}m{mode}"] = []
                     host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
@@ -860,7 +868,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                         sl_d["M"], sl_d["W"], partners, 0, dims_sh, dtype,
                         mdt, packed=True,
                         w_scale=problem.dense_w_scale.get((ri, mode)),
-                        n_valid=_dense_partner_n(problem, ri, mode))
+                        n_valid=_dense_partner_n(problem, ri, mode),
+                        ridge_deg=sl_d.get("deg"))
                     packed_P = (alpha * P_p if packed_P is None
                                 else packed_P + alpha * P_p)
                     b_acc = b_acc + alpha * b_d
@@ -902,7 +911,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 P_d, b_d = dense_gram_contrib(
                     sl["M"], sl["W"], partners, 0, dims_sh, dtype, mdt,
                     w_scale=problem.dense_w_scale.get((ri, mode)),
-                    n_valid=_dense_partner_n(problem, ri, mode))
+                    n_valid=_dense_partner_n(problem, ri, mode),
+                    ridge_deg=sl.get("deg"))
                 P_acc = P_acc + alpha * P_d
                 b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]

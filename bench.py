@@ -279,7 +279,10 @@ def main():
     if cfg in ("", "ml10m"):
         bench_ml("100k" if smoke else "10m", 10 if smoke else 40)
     elif cfg == "ml100k":
-        bench_ml("100k", 40)
+        # tiny config: device time is ~0.2 ms/sweep, so a 40-sweep chunk
+        # is dominated by the ~35 ms axon dispatch round-trip — run a
+        # longer chain to measure steady-state throughput
+        bench_ml("100k", 200)
     elif cfg == "chembl":
         bench_chembl()
     elif cfg == "tensor":
