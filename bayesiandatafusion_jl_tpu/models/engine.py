@@ -588,7 +588,10 @@ class MacauEngine(GibbsDriverMixin):
             if (fuse and K <= 96 and dense_contribs and not contribs
                     and cfg.accumulation != "planned"):
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
-                b_acc = prior_mean @ Lambda
+                # kernel-layout accumulation: Pp [C, N], b [K, N] straight
+                # out of the flipped einsums (dense_gram transposed=True) —
+                # no [N, C] -> [C, N] pre-kernel transpose pass
+                b_acc = jnp.einsum("nk,kj->jn", prior_mean, Lambda)
                 Pp_acc = None
                 for alpha, partners, ri, mode, plan in dense_contribs:
                     with jax.named_scope(f"dense_r{ri}m{mode}"):
@@ -598,7 +601,7 @@ class MacauEngine(GibbsDriverMixin):
                         dims.insert(mode, plan.n_focus)
                         P_p, b_d = dense_gram_contrib(
                             st["M"], st["W"], partners, mode, dims, dtype,
-                            mdt, packed=True,
+                            mdt, packed=True, transposed=True,
                             w_scale=self.problem.dense_w_scale.get(ri),
                             ridge_deg=st.get(f"deg_m{mode}"))
                         Pp_acc = (alpha * P_p if Pp_acc is None
@@ -606,7 +609,7 @@ class MacauEngine(GibbsDriverMixin):
                         b_acc = b_acc + alpha * b_d
                 ent["U"] = chol_sample_packed_dispatch(
                     Pp_acc, b_acc, randoms[f"e{ei}.xi"], Lambda,
-                    cfg.chol_jitter)
+                    cfg.chol_jitter, transposed=True)
                 ents[ei] = ent
                 metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
                 if es.has_features:

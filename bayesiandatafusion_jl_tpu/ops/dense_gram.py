@@ -429,12 +429,20 @@ def dense_gram_contrib(
     n_valid: Optional[Sequence[Optional[int]]] = None,
     ridge_deg: Optional[jax.Array] = None,  # static [n_focus] observation
                                             # counts (int8 PD ridge)
+    transposed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
     the einsum's native [n_focus, K(K+1)/2] upper-triangle packing (for
     the packed Pallas sampler, ops/pallas_chol.chol_sample_packed) —
     always the triangle tables, and no expand pass at all.
+
+    ``transposed=True`` (packed only) emits the KERNEL layout directly —
+    Pt [K(K+1)/2, n_focus] and b [K, n_focus] — by flipping the einsum
+    output order ('...->za' instead of '...->az').  XLA runs the flipped
+    dot natively (bitwise-identical values, r2s6 probe), which deletes
+    the [N, C] -> [C, N] pre-kernel transpose pass the packed samplers
+    otherwise pay (~3.5 ms at K=96/ML-10M).
 
     One multi-operand einsum per quantity: ``P = einsum(T, Y_d...)`` with
     per-partner packed-triangle tables Y_d = U_d[:,iu] * U_d[:,ju]
@@ -446,14 +454,17 @@ def dense_gram_contrib(
     order), so packing is exact, not an approximation.
     """
     K = partner_factors[0].shape[-1]
+    assert not transposed or packed, "transposed requires packed=True"
     dims = tuple(int(d) for d in dims)
     T = M.reshape(dims)
     Wt = W.reshape(dims)
     letters = "abcdefgh"[:len(dims)]
     parts = [d for d in range(len(dims)) if d != focus_axis]
+    out_sub = ("z" + letters[focus_axis] if transposed
+               else letters[focus_axis] + "z")
     spec = (letters + ","
             + ",".join(letters[d] + "z" for d in parts)
-            + "->" + letters[focus_axis] + "z")
+            + "->" + out_sub)
     if w_scale is not None:
         # s8 MXU path: M/W stored int8 (exact counts / statically-scaled
         # values, quantize_dense_pair).  The LARGEST partner axis is
@@ -473,11 +484,16 @@ def dense_gram_contrib(
         bi = int(np.argmax(sizes))
         big = parts[bi]
         rem = [d for d in range(len(dims)) if d != big]
+        rem_str = "".join(letters[d] for d in rem)
+        # arity 2: step 1 IS the output — flip its orientation when
+        # transposed; arity >= 3 keeps z last in step 1 (the [rem..., z]
+        # intermediate) and flips only step 2's output
+        out1_t = transposed and len(dims) == 2
         spec_i8 = (letters + "," + letters[big] + "z->"
-                   + "".join(letters[d] for d in rem) + "z")
-        spec_f32 = ("".join(letters[d] for d in rem) + "z,"
+                   + ("z" + rem_str if out1_t else rem_str + "z"))
+        spec_f32 = (rem_str + "z,"
                     + ",".join(letters[d] + "z" for d in parts if d != big)
-                    + "->" + letters[focus_axis] + "z") if len(dims) > 2 \
+                    + "->" + out_sub) if len(dims) > 2 \
             else None
 
         def contract(T8, big_q, small_tables, extra_scale):
@@ -486,10 +502,11 @@ def dense_gram_contrib(
             # reduction's rounding must stay at f64 scale or the sharded
             # slab's different S layout (hence reduce order) breaks the
             # 1e-8 engine-parity seam
+            scale = (extra_scale * sa).astype(out_dtype)
             S = (jnp.einsum(spec_i8, T8, A8,
                             preferred_element_type=jnp.int32)
                  .astype(out_dtype)
-                 * (extra_scale * sa).astype(out_dtype))
+                 * (scale[:, None] if out1_t else scale))
             if spec_f32 is None:
                 return S
             # step 2 streams the [rem..., z] intermediate back through the
@@ -523,9 +540,13 @@ def dense_gram_contrib(
         if ridge_deg is not None:
             dc = jnp.asarray(np.nonzero(iu == ju)[0])
             step = (jnp.mean(Yq[1]) * (0.5 * float(np.sqrt(K))))
-            ridge = (jnp.sqrt(ridge_deg.astype(jnp.float32))[:, None]
-                     * step).astype(out_dtype)
-            Pt = Pt.at[:, dc].add(ridge)
+            rdeg = jnp.sqrt(ridge_deg.astype(jnp.float32))
+            if transposed:
+                Pt = Pt.at[dc, :].add((rdeg[None, :] * step)
+                                      .astype(out_dtype))
+            else:
+                Pt = Pt.at[:, dc].add((rdeg[:, None] * step)
+                                      .astype(out_dtype))
         b = contract(Wt, _quantize_cols(Uf[bi], nv[bi]),
                      [U for i, U in enumerate(Uf) if i != bi], w_scale)
         if packed:

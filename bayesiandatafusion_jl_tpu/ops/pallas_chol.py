@@ -191,13 +191,23 @@ def _chol_sample_packed_kernel(P_ref, lam_ref, b_ref, xi_ref, u_ref, *,
 
 def chol_sample_packed(Pp: jax.Array, b: jax.Array, xi: jax.Array,
                        Lambda: jax.Array, jitter: float = 0.0,
-                       tile: int = 512) -> jax.Array:
+                       tile: int = 512,
+                       transposed: bool = False) -> jax.Array:
     """Sample u ~ N(P'^{-1} b, P'^{-1}) from PACKED upper-triangle
     precision rows: Pp [B, K(K+1)/2] (np.triu_indices order), with
     P' = unpack(Pp) + Lambda (+ jitter I).  K <= 32 (unrolled kernel).
+
+    ``transposed=True``: Pp arrives [K(K+1)/2, B] and b [K, B] — the
+    kernel's native layout, as emitted by
+    ``dense_gram_contrib(packed=True, transposed=True)`` — skipping the
+    XLA transposes of the batch-leading layout (xi stays [B, K]: its
+    draw shape is part of the shared randoms spec).
     """
-    B, C = Pp.shape
-    K = b.shape[-1]
+    K = Lambda.shape[0]
+    if transposed:
+        C, B = Pp.shape
+    else:
+        B, C = Pp.shape
     assert C == K * (K + 1) // 2
     dtype = Pp.dtype
     lam = Lambda.astype(dtype)
@@ -213,12 +223,20 @@ def chol_sample_packed(Pp: jax.Array, b: jax.Array, xi: jax.Array,
         # padded lanes factor P = I (diag-packed ones) so no NaNs leak
         eyep = np.zeros((C,), np.float32)
         eyep[tri_of[np.arange(K), np.arange(K)]] = 1.0
-        Pp = jnp.concatenate(
-            [Pp, jnp.broadcast_to(jnp.asarray(eyep, dtype), (pad, C))],
-            axis=0)
-        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        if transposed:
+            Pp = jnp.concatenate(
+                [Pp, jnp.broadcast_to(jnp.asarray(eyep, dtype)[:, None],
+                                      (C, pad))], axis=1)
+            b = jnp.concatenate([b, jnp.zeros((K, pad), dtype)], axis=1)
+        else:
+            Pp = jnp.concatenate(
+                [Pp, jnp.broadcast_to(jnp.asarray(eyep, dtype), (pad, C))],
+                axis=0)
+            b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
         xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
     Bp = B + pad
+    Ppt = Pp if transposed else Pp.T
+    bt = b if transposed else b.T
     out = pl.pallas_call(
         functools.partial(_chol_sample_packed_kernel, K=K, tri=tri),
         grid=(Bp // tile,),
@@ -235,7 +253,7 @@ def chol_sample_packed(Pp: jax.Array, b: jax.Array, xi: jax.Array,
         out_specs=pl.BlockSpec((K, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
-    )(Pp.T, lam, b.T, xi.T)
+    )(Ppt, lam, bt, xi.T)
     return out.T[:B]
 
 
@@ -296,12 +314,17 @@ def _chol_sample_packed_slab_kernel(P_ref, lam_ref, b_ref, xi_ref, u_ref,
 
 def chol_sample_packed_tiled(Pp: jax.Array, b: jax.Array, xi: jax.Array,
                              Lambda: jax.Array, jitter: float = 0.0,
-                             tile: int = 512) -> jax.Array:
+                             tile: int = 512,
+                             transposed: bool = False) -> jax.Array:
     """Packed-triangle fused sampler for 32 < K <= 96 (column-slab kernel):
     Pp [B, K(K+1)/2] in np.triu_indices order, P' = unpack(Pp) + Lambda
-    (+ jitter I)."""
-    B, C = Pp.shape
-    K = b.shape[-1]
+    (+ jitter I).  ``transposed=True``: Pp [C, B] / b [K, B] kernel-layout
+    inputs (see :func:`chol_sample_packed`)."""
+    K = Lambda.shape[0]
+    if transposed:
+        C, B = Pp.shape
+    else:
+        B, C = Pp.shape
     assert C == K * (K + 1) // 2
     dtype = Pp.dtype
     lam = Lambda.astype(dtype)
@@ -315,10 +338,16 @@ def chol_sample_packed_tiled(Pp: jax.Array, b: jax.Array, xi: jax.Array,
     pad = (-B) % tile
     if pad:
         # padded lanes get P = 0 and factor 0 + Lambda (PD) — no NaNs
-        Pp = jnp.concatenate([Pp, jnp.zeros((pad, C), dtype)], axis=0)
-        b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
+        if transposed:
+            Pp = jnp.concatenate([Pp, jnp.zeros((C, pad), dtype)], axis=1)
+            b = jnp.concatenate([b, jnp.zeros((K, pad), dtype)], axis=1)
+        else:
+            Pp = jnp.concatenate([Pp, jnp.zeros((pad, C), dtype)], axis=0)
+            b = jnp.concatenate([b, jnp.zeros((pad, K), dtype)], axis=0)
         xi = jnp.concatenate([xi, jnp.zeros((pad, K), dtype)], axis=0)
     Bp = B + pad
+    Ppt = Pp if transposed else Pp.T
+    bt = b if transposed else b.T
     lam_b = jnp.broadcast_to(lam_p[:, None], (C, tile))
     out = pl.pallas_call(
         functools.partial(_chol_sample_packed_slab_kernel, K=K),
@@ -339,19 +368,22 @@ def chol_sample_packed_tiled(Pp: jax.Array, b: jax.Array, xi: jax.Array,
         scratch_shapes=[pltpu.VMEM((C, tile), dtype),
                         pltpu.VMEM((K, tile), dtype),
                         pltpu.VMEM((K, tile), dtype)],
-    )(Pp.T, lam_b, b.T, xi.T)
+    )(Ppt, lam_b, bt, xi.T)
     return out.T[:B]
 
 
 def chol_sample_packed_dispatch(Pp: jax.Array, b: jax.Array, xi: jax.Array,
                                 Lambda: jax.Array,
-                                jitter: float = 0.0) -> jax.Array:
+                                jitter: float = 0.0,
+                                transposed: bool = False) -> jax.Array:
     """Packed-precision sampler across the K ladder: unrolled kernel for
     K <= 32, packed column-slab kernel for 32 < K <= 96."""
-    K = b.shape[-1]
+    K = Lambda.shape[0]
     if K <= 32:
-        return chol_sample_packed(Pp, b, xi, Lambda, jitter)
-    return chol_sample_packed_tiled(Pp, b, xi, Lambda, jitter)
+        return chol_sample_packed(Pp, b, xi, Lambda, jitter,
+                                  transposed=transposed)
+    return chol_sample_packed_tiled(Pp, b, xi, Lambda, jitter,
+                                    transposed=transposed)
 
 
 def _chol_inv_slab_kernel(P_ref, W_ref, A, *, K: int):

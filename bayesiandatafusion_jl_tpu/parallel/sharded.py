@@ -859,14 +859,16 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         if (use_pallas_chol(cfg) and K <= 96 and dense_contribs
                 and not contribs and not meta.n_head
                 and cfg.accumulation != "planned"):
-            b_acc = prior_mean @ Lambda
+            # kernel-layout accumulation (mirrors models/engine.py):
+            # Pp [C, n_loc], b [K, n_loc] from the flipped einsums
+            b_acc = jnp.einsum("nk,kj->jn", prior_mean, Lambda)
             for alpha, partners, ri, mode, dims_sh in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
                     mdt = gd if gd is not None else dtype
                     sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
                     P_p, b_d = dense_gram_contrib(
                         sl_d["M"], sl_d["W"], partners, 0, dims_sh, dtype,
-                        mdt, packed=True,
+                        mdt, packed=True, transposed=True,
                         w_scale=problem.dense_w_scale.get((ri, mode)),
                         n_valid=_dense_partner_n(problem, ri, mode),
                         ridge_deg=sl_d.get("deg"))
@@ -929,9 +931,11 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         def _samp(sl):
             if packed_P is not None:
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
-                return chol_sample_packed_dispatch(packed_P[sl], b_acc[sl],
+                return chol_sample_packed_dispatch(packed_P[:, sl],
+                                                   b_acc[:, sl],
                                                    xi_loc[sl], Lambda,
-                                          cfg.chol_jitter)
+                                                   cfg.chol_jitter,
+                                                   transposed=True)
             return chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
                                         xi_loc[sl], Lambda=fused_lam)
 

@@ -236,3 +236,29 @@ def test_unknown_accumulation_rejected():
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
     with pytest.raises(ValueError):
         MacauConfig(accumulation="window")  # removed r1 experiment
+
+
+def test_pallas_chol_packed_transposed_matches_batchlead(interpret_pallas):
+    """transposed=True (kernel-layout [C, B] / [K, B] inputs) must produce
+    exactly the batch-leading path's samples — both kernels, both pad and
+    exact-tile shapes."""
+    from bayesiandatafusion_jl_tpu.ops.pallas_chol import (
+        chol_sample_packed_dispatch)
+    rng = np.random.default_rng(8)
+    for K, B, tile_pad in ((8, 21, True), (40, 16, False)):
+        C = K * (K + 1) // 2
+        A = rng.standard_normal((B, K, K)).astype(np.float32) * 0.3
+        P = A @ A.transpose(0, 2, 1)
+        Lam = (2 * np.eye(K) + 0.1).astype(np.float32)
+        b = rng.standard_normal((B, K)).astype(np.float32)
+        xi = rng.standard_normal((B, K)).astype(np.float32)
+        iu, ju = np.triu_indices(K)
+        Pp = P[:, iu, ju]
+        want = np.asarray(chol_sample_packed_dispatch(
+            jnp.asarray(Pp), jnp.asarray(b), jnp.asarray(xi),
+            jnp.asarray(Lam), jitter=0.25))
+        got = np.asarray(chol_sample_packed_dispatch(
+            jnp.asarray(Pp.T.copy()), jnp.asarray(b.T.copy()),
+            jnp.asarray(xi), jnp.asarray(Lam), jitter=0.25,
+            transposed=True))
+        np.testing.assert_array_equal(got, want)
