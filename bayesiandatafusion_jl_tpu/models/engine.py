@@ -279,6 +279,26 @@ class CompiledProblem:
         self.random_spec = build_random_spec(self.entity_specs,
                                              self.rel_specs, config)
 
+    def flops_per_sweep(self) -> float:
+        """Approximate matmul work of one sweep's Gramian/rhs assembly (the
+        dominant cost).  Diagnostic only — bench.py divides by the measured
+        ms/sweep to report effective TOPS; no engine decision reads this.
+        Dense modes count the full M/W contraction (padded cells included —
+        that IS the executed work); gather modes count per-observation
+        outer products."""
+        K = self.config.num_latent
+        C = K * (K + 1) // 2
+        counts = [es.n for es in self.entity_specs]
+        f = 0.0
+        for ri, rs in enumerate(self.rel_specs):
+            total = float(np.prod([counts[e] for e in rs.entity_ids]))
+            for mode in range(rs.arity):
+                if (ri, mode) in self.dense_plans:
+                    f += 2.0 * total * (C + K)
+                else:
+                    f += 2.0 * rs.nnz * (K * K + K)
+        return f
+
 
 def build_random_spec(entity_specs, rel_specs, cfg: MacauConfig) -> RandomSpec:
     """Randoms specification — static shapes only (SURVEY §9.2 RNG seam).
@@ -413,6 +433,66 @@ class GibbsDriverMixin:
             if log_f is not None:
                 log_f.close()
         return self._results(state, history)
+
+    def benchmark(self, num_sweeps: int, repeats: int = 1,
+                  key: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Public timing entry point (bench.py uses ONLY this).
+
+        Compiles the sweep program on an untimed leading window, then runs
+        ``repeats`` timed windows of ``num_sweeps`` sweeps each —
+        continuing one Gibbs chain, so every window does identical
+        static-shaped work.  Ends each window with a real device->host
+        transfer (``block_until_ready`` can return before execution
+        completes on relayed transports).
+
+        Returns::
+
+            {"ms_per_sweep": [per-window mean, ...],   # len == repeats
+             "metrics": {...final sweep's metrics...},
+             "rmse_at_sweeps": rmse_sample at sweep `num_sweeps`}
+        """
+        cfg = self.config
+        if key is None:
+            key = jax.random.key(cfg.seed)
+        state = self.init_state(jax.random.fold_in(key, 0))
+        spd = max(getattr(cfg, "sweeps_per_dispatch", 1), 1)
+        batch_fn = getattr(self, "_do_sweeps_batch", None)
+        windows: List[float] = []
+        rmse_at = None
+        metrics = {}
+
+        def run_window(state, start, n):
+            t0 = time.perf_counter()
+            if spd > 1 and batch_fn is not None:
+                s = start
+                while s < start + n:
+                    c = min(spd, start + n - s)
+                    state, mstack = batch_fn(state, key, s, c)
+                    s += c
+                mkey = next(k for k in mstack if k.endswith("rmse_avg"))
+                last = {k: v[-1] for k, v in mstack.items()}
+            else:
+                for s in range(start, start + n):
+                    state, last = self._do_sweep(
+                        state, sweep_key(key, s + 1),
+                        1.0 if s >= cfg.burnin else 0.0)
+                mkey = next(k for k in last if k.endswith("rmse_avg"))
+            _ = float(last[mkey])          # real D2H: end of window
+            dt = time.perf_counter() - t0
+            return state, {k: float(v) for k, v in
+                           jax.device_get(last).items()}, dt
+
+        # compile + warm window (untimed); its final rmse_sample is the
+        # trajectory value at `num_sweeps` (the north-star "RMSE @ N")
+        state, metrics, _ = run_window(state, 0, num_sweeps)
+        rk = next((k for k in metrics if k.endswith("rmse_sample")), None)
+        rmse_at = metrics.get(rk) if rk else None
+        for r in range(repeats):
+            state, metrics, dt = run_window(
+                state, (r + 1) * num_sweeps, num_sweeps)
+            windows.append(dt * 1e3 / num_sweeps)
+        return {"ms_per_sweep": windows, "metrics": metrics,
+                "rmse_at_sweeps": rmse_at}
 
     def _chunk_limit(self, s: int, total: int) -> int:
         """Exclusive upper bound for a scan chunk starting at sweep `s`:
