@@ -110,11 +110,38 @@ class CompiledProblem:
                                      [e.count for e in rel.entities])
                  for rel in rd.relations]
         base_item = jnp.dtype(store_jnp).itemsize
+        pair_item = [1 if ok else base_item for ok in i8_ok]
+        shapes = [tuple(e.count for e in rel.entities)
+                  for rel in rd.relations]
+        # single-array fused path (sparse regime, VERDICT r2 #1): encoding
+        # + engagement are relation-statistics-only so both engines agree
+        fused_enc = [None] * len(rd.relations)
+        if config.dense_fused is not False and config.dense_gram is not False:
+            for ri, rel in enumerate(rd.relations):
+                if (rel.arity == 2 and rel.data.nnz
+                        and (config.dense_fused
+                             or rel.data.nnz >= dg._AUTO_MIN_NNZ)):
+                    fused_enc[ri] = dg.fused_pair_encode(
+                        rel.data.idx, rel.data.vals, shapes[ri])
+        self.fused_rels, fused_spent = dg.plan_fused_rels(
+            shapes, [rel.data.nnz for rel in rd.relations], K,
+            config.dense_gram, config.dense_fused, fused_enc, pair_item,
+            config.dense_gram_budget_gb * 1e9)
         self.dense_plans, _dense_canon, _dense_copies = dg.plan_dense_modes(
-            [tuple(e.count for e in rel.entities) for rel in rd.relations],
-            [rel.data.nnz for rel in rd.relations], K,
-            config.dense_gram, config.dense_gram_budget_gb * 1e9,
-            [1 if ok else base_item for ok in i8_ok])
+            shapes,
+            [0 if ri in self.fused_rels else rel.data.nnz
+             for ri, rel in enumerate(rd.relations)], K,
+            config.dense_gram,
+            config.dense_gram_budget_gb * 1e9 - fused_spent,
+            pair_item)
+        for ri, _enc in self.fused_rels.items():
+            rel = rd.relations[ri]
+            arrays["dense"][f"r{ri}"] = {"V8": dg.build_fused_values_device(
+                rel.data.idx, rel.data.vals, shapes[ri], *_enc)}
+            for mode in range(2):
+                self.dense_plans[(ri, mode)] = dg.DenseModePlan(
+                    "fused", shapes[ri][mode],
+                    (shapes[ri][1 - mode],))
         self.dense_w_scale: Dict[int, float] = {}  # ri -> static int8 scale
         for ri in sorted(_dense_canon):
             rel = rd.relations[ri]
@@ -676,14 +703,9 @@ class MacauEngine(GibbsDriverMixin):
                 for alpha, partners, ri, mode, plan in dense_contribs:
                     with jax.named_scope(f"dense_r{ri}m{mode}"):
                         mdt = gd if gd is not None else dtype
-                        st = arrays["dense"][f"r{ri}"]
-                        dims = list(plan.partner_counts)
-                        dims.insert(mode, plan.n_focus)
-                        P_p, b_d = dense_gram_contrib(
-                            st["M"], st["W"], partners, mode, dims, dtype,
-                            mdt, packed=True, transposed=True,
-                            w_scale=self.problem.dense_w_scale.get(ri),
-                            ridge_deg=st.get(f"deg_m{mode}"))
+                        P_p, b_d = self._dense_mode_contrib(
+                            arrays, ri, mode, plan, partners, dtype, mdt,
+                            packed=True, transposed=True)
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
@@ -712,13 +734,8 @@ class MacauEngine(GibbsDriverMixin):
             for alpha, partners, ri, mode, plan in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
                     mdt = gd if gd is not None else dtype
-                    st = arrays["dense"][f"r{ri}"]
-                    dims = list(plan.partner_counts)
-                    dims.insert(mode, plan.n_focus)
-                    P_d, b_d = dense_gram_contrib(
-                        st["M"], st["W"], partners, mode, dims, dtype, mdt,
-                        w_scale=self.problem.dense_w_scale.get(ri),
-                        ridge_deg=st.get(f"deg_m{mode}"))
+                    P_d, b_d = self._dense_mode_contrib(
+                        arrays, ri, mode, plan, partners, dtype, mdt)
                     P_acc = P_acc + alpha * P_d
                     b_acc = b_acc + alpha * b_d
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
@@ -777,6 +794,27 @@ class MacauEngine(GibbsDriverMixin):
 
         new_state = {"ent": ents, "rel": rels, "pred": preds}
         return new_state, metrics
+
+    def _dense_mode_contrib(self, arrays, ri, mode, plan, partners,
+                            dtype, mdt, packed=False, transposed=False):
+        """One dense mode's (P, b): the M/W pair path (bf16 or s8 MXU)
+        or the single-array fused path (ops/dense_gram.fused_gram_contrib)
+        per the compile-time plan kind."""
+        st = arrays["dense"][f"r{ri}"]
+        if plan.kind == "fused":
+            s, m = self.problem.fused_rels[ri]
+            from ..ops.dense_gram import fused_gram_contrib
+            return fused_gram_contrib(
+                st["V8"], partners[0], mode, dtype, mdt, s, m,
+                self.problem.rel_specs[ri].mean_value,
+                packed=packed, transposed=transposed)
+        dims = list(plan.partner_counts)
+        dims.insert(mode, plan.n_focus)
+        return dense_gram_contrib(
+            st["M"], st["W"], partners, mode, dims, dtype, mdt,
+            packed=packed, transposed=transposed,
+            w_scale=self.problem.dense_w_scale.get(ri),
+            ridge_deg=st.get(f"deg_m{mode}"))
 
     def _sample_beta(self, arrays, ent, es: EntitySpec, ei: int, randoms):
         """Noise-injected exact Gibbs draw of beta (SURVEY §4.4)."""

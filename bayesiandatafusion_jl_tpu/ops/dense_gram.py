@@ -71,19 +71,22 @@ class DenseModePlan:
 
 
 def estimate_times(n_focus: int, np_comb: int, nnz: int, K: int,
-                   itemsize: int) -> Tuple[float, float]:
+                   itemsize: int,
+                   mxu_rate: float = _MXU_FLOPS) -> Tuple[float, float]:
     """(dense_seconds, gather_seconds) for one mode update.
 
     The dominant pairwise contraction of the mode einsum touches every
     tensor element once against the K(K+1)/2-column packed triangle; the
-    rhs product streams W once more.
+    rhs product streams W once more.  ``mxu_rate`` lets callers model a
+    path that runs at a different matmul rate (the fused single-array
+    path contracts in bf16, not s8).
     """
     flops = 2.0 * n_focus * np_comb * (K * (K + 1) // 2)
     bytes_mw = n_focus * np_comb * itemsize                # each of M, W
     # The Gramian matmul is compute-bound (arithmetic intensity ~K^2/
     # itemsize >> ridge) so M's streaming hides under the MXU; W @ Z is
     # bandwidth-bound.
-    dense = (max(flops / _MXU_FLOPS, bytes_mw / _HBM_BPS)
+    dense = (max(flops / mxu_rate, bytes_mw / _HBM_BPS)
              + bytes_mw / _HBM_BPS)
     # The gather path's cost is calibrated at K=32 and grows ~K^2 beyond
     # it: the per-observation row gather moves K-proportional bytes and
@@ -169,6 +172,70 @@ def plan_dense_modes(
                                if d != mode)
         plans[(ri, mode)] = DenseModePlan(kind, n_focus, partner_counts)
     return plans, canonical, copies
+
+
+# Measured chunked-mask bf16 contraction rate (r3 probe: 114 TFLOP/s at
+# Netflix shape) — the fused path's planning constant.
+_BF16_FLOPS = 1.1e14
+
+
+def plan_fused_rels(
+    shapes: Sequence[Tuple[int, ...]],
+    nnzs: Sequence[int],
+    K: int,
+    dense_gram: Optional[bool],          # master dense switch
+    dense_fused: Optional[bool],         # None=auto, False=off, True=force
+    fused_enc: Sequence,                 # per relation: (s, m) or None
+    pair_itemsize: Sequence[int],        # what the PAIR path would store
+    budget_bytes: float,
+):
+    """Pick relations for the SINGLE-ARRAY fused dense path.
+
+    Auto rule (the sparse-regime answer, VERDICT r2 #1): engage when the
+    relation is fused-encodable, the dense contraction beats the gather
+    at the bf16 rate, and the M/W pair does NOT fit the budget while the
+    single int8 array does — Netflix-shaped relations (480k x 18k, 100M
+    nnz: 17 GB pair vs 8.5 GB single) land here.  ``dense_fused=True``
+    forces it wherever encodable (test/ablation knob).
+
+    Decided from relation-level statistics only — NEVER from an engine's
+    storage layout — so the single-device and sharded engines always
+    make the same choice (the engine-parity invariant).
+
+    Returns (fused: dict ri -> (s, m), spent_bytes).
+    """
+    out = {}
+    spent = 0.0
+    if dense_fused is False or dense_gram is False:
+        return out, spent
+    for ri, shape in enumerate(shapes):
+        if fused_enc[ri] is None or len(shape) != 2:
+            continue
+        nnz = nnzs[ri]
+        if dense_fused is None and nnz < _AUTO_MIN_NNZ:
+            continue
+        total = float(int(shape[0]) * int(shape[1]))
+        if dense_fused is None:
+            pair_bytes = 2.0 * total * pair_itemsize[ri]
+            if pair_bytes <= budget_bytes:
+                continue                 # the faster s8/bf16 pair path fits
+            profitable = all(
+                (lambda d_g: d_g[0] < 0.7 * d_g[1])(estimate_times(
+                    int(shape[m]), int(shape[1 - m]), nnz, K, 1,
+                    mxu_rate=_BF16_FLOPS))
+                for m in range(2))
+            if not profitable:
+                continue
+        if spent + total > budget_bytes:
+            import sys
+            print(f"# dense_gram: relation {ri} fused path declined by "
+                  f"budget ({(spent + total) / 1e9:.2f} GB > "
+                  f"{budget_bytes / 1e9:.2f} GB) — gather path",
+                  file=sys.stderr)
+            continue
+        out[ri] = fused_enc[ri]
+        spent += total
+    return out, spent
 
 
 def use_dense_feat(n: int, f: int, nnz: int, itemsize: int,
@@ -263,6 +330,229 @@ def _accum_dense_pair_native(idx, centered, dims, perm, total):
     if rc != 0:
         return None
     return M, W
+
+
+def fused_pair_encode(idx: np.ndarray, vals: np.ndarray,
+                      shape: Sequence[int]):
+    """Layout-invariant eligibility + encoding for the SINGLE-ARRAY fused
+    dense path (the sparse-regime answer: relations whose int8 M/W PAIR
+    exceeds HBM, e.g. Netflix-shaped 480k x 18k / 100M nnz = 17 GB pair).
+
+    Finds ``(scale s, shift m)`` such that every observed value satisfies
+    ``v == s * (e + m)`` with ``e`` a NONZERO int8 — then one stored int8
+    array V8 (e at observed cells, 0 elsewhere) yields BOTH dense-MXU
+    quantities with the mask derived on the fly:
+
+        P  = (V8 != 0) @ Ypack                      (observation mask)
+        b  = s * (V8 @ Z) + (s*m - mean) * ((V8 != 0) @ Z)
+
+    so the Gramian runs at MXU rate with HALF the int8 pair's HBM
+    footprint and NO value quantization error (the encoding is exact or
+    the path is declined).  Applies to rating-style grids (MovieLens/
+    Netflix 1..5, binary 0/1, pIC50 on a reporting grid); continuous
+    values or duplicate (i,j) observations return None.
+
+    Decided from the observation index + values alone so the single-device
+    and sharded engines always agree (same invariant as int8_pair_ok).
+    Returns ``(s, m)`` or None.
+    """
+    if idx.shape[1] != 2 or idx.shape[0] == 0:
+        return None
+    lin = idx[:, 0].astype(np.int64) * int(shape[1]) + idx[:, 1]
+    if np.unique(lin).size != lin.size:     # duplicates sum in M/W; a
+        return None                         # single array cannot carry them
+    d = np.unique(np.asarray(vals, np.float64))
+    if d.size > 254:
+        return None
+    s = float(np.min(np.diff(d))) if d.size > 1 else (
+        abs(float(d[0])) if d[0] != 0 else 1.0)
+    if not np.isfinite(s) or s <= 0:
+        return None
+    q = d / s
+    qi = np.rint(q)
+    # exact grid: every value must be an integer multiple of the step and
+    # reconstruct to within f64 roundoff (anything else would be a silent
+    # quantization path — decline instead)
+    if np.max(np.abs(q - qi)) > 1e-9:
+        return None
+    if np.max(np.abs(qi * s - d)) > 1e-9 * max(1.0, float(np.abs(d).max())):
+        return None
+    qi = qi.astype(np.int64)
+    if qi.max() - qi.min() > 253:
+        return None
+    used = set(int(x) for x in qi)
+    best = None
+    for m in range(int(qi.min()) - 1, int(qi.max()) + 2):
+        if m in used:                       # some e would be 0 -> unmasked
+            continue
+        emax = max(abs(int(qi.min()) - m), abs(int(qi.max()) - m))
+        if emax <= 127 and (best is None or emax < best[1]):
+            best = (m, emax)
+    if best is None:
+        return None
+    return s, best[0]
+
+
+def encode_fused_values(vals: np.ndarray, s: float, m: int) -> np.ndarray:
+    """int8 codes for :func:`fused_pair_encode`'s (s, m)."""
+    return (np.rint(np.asarray(vals, np.float64) / s) - m).astype(np.int8)
+
+
+def build_fused_values(idx: np.ndarray, vals: np.ndarray,
+                       shape: Sequence[int], s: float, m: int) -> np.ndarray:
+    """Materialize the single int8 value matrix V8 [shape[0], shape[1]].
+
+    Direct assignment (fused_pair_encode guarantees no duplicates)."""
+    n0, n1 = int(shape[0]), int(shape[1])
+    lin = idx[:, 0].astype(np.int64) * n1 + idx[:, 1]
+    V = np.zeros(n0 * n1, np.int8)
+    V[lin] = encode_fused_values(vals, s, m)
+    return V.reshape(n0, n1)
+
+
+def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
+                              shape: Sequence[int], s: float, m: int):
+    """Device-side V8 build: ship the COO (9 bytes/nnz) and scatter on
+    chip.  The relayed host->device link in this sandbox moves ~20 MB/s
+    (probe r3), so at Netflix scale the 8.5 GB dense array would take ~7
+    minutes to upload while the COO is ~0.9 GB; the on-device scatter is
+    a one-time O(nnz) pass."""
+    n0, n1 = int(shape[0]), int(shape[1])
+    e = encode_fused_values(vals, s, m)
+    i0 = jnp.asarray(idx[:, 0].astype(np.int32))
+    i1 = jnp.asarray(idx[:, 1].astype(np.int32))
+    ed = jnp.asarray(e)
+
+    @jax.jit
+    def scatter(i0, i1, ed):
+        return jnp.zeros((n0, n1), jnp.int8).at[i0, i1].set(ed)
+
+    return scatter(i0, i1, ed)
+
+
+def fused_gram_contrib(
+    V8: jax.Array,                 # [n0, n1] int8 (0 = unobserved)
+    partner: jax.Array,            # [N_partner, K] partner factors
+    focus_axis: int,               # 0 or 1 (arity 2 only)
+    out_dtype,
+    op_dtype,
+    scale: float,
+    shift: int,
+    mean: float,
+    packed: bool = False,
+    transposed: bool = False,
+    row_chunks: int = 32,
+) -> Tuple[jax.Array, jax.Array]:
+    """One mode's Gramian/rhs from the single fused int8 array.
+
+    Mirrors :func:`dense_gram_contrib`'s output conventions (packed
+    triangle / transposed kernel layout / full [N, K, K]); the returned b
+    is already centered: ``b = s*(V8 @ Z) + (s*shift - mean)*(M @ Z)``.
+
+    The mask and value operands are derived from V8 IN CHUNKS inside a
+    ``fori_loop`` — an unchunked einsum materializes the full bf16 mask
+    (8.5 GB -> 17 GB at Netflix scale) and runs at HBM speed (~16-27
+    TFLOP/s, r3 probe) while the chunked form stays compute-bound
+    (~114 TFLOP/s).  Both engines use the same chunk count so float
+    summation patterns agree.
+    """
+    assert not transposed or packed, "transposed requires packed=True"
+    K = partner.shape[-1]
+    iu, ju, expand = _tri_maps(K)
+    U = partner.astype(op_dtype)
+    Y = U[:, iu] * U[:, ju]                     # [Npartner, C]
+    YZ = jnp.concatenate([Y, U], axis=1)        # [Npartner, C + K]
+    C = Y.shape[1]
+    n0, n1 = V8.shape
+    n_focus = n0 if focus_axis == 0 else n1
+    c1 = jnp.asarray(scale, out_dtype)
+    c0 = jnp.asarray(scale * shift - mean, out_dtype)
+
+    # chunk the n0 axis: ceil-sized full chunks via fori_loop plus one
+    # statically-sized tail (n0 need not divide; a divisor search would
+    # degrade to ONE chunk — i.e. a fully materialized mask — on awkward
+    # row counts)
+    chunks = max(1, min(row_chunks, n0))
+    cn = -(-n0 // chunks)
+    full = n0 // cn
+    rem = n0 - full * cn
+
+    if focus_axis == 0:
+        # focus = rows of V8: chunk over OUTPUT rows, partner = axis 1
+        def step(start, size, acc):
+            p_acc, pm_acc, bv_acc = acc
+            wb = jax.lax.dynamic_slice_in_dim(V8, start, size, 0)
+            msk = (wb != 0).astype(op_dtype)
+            w = wb.astype(op_dtype)
+            if transposed:
+                pm = jnp.einsum("ab,bz->za", msk, YZ,
+                                preferred_element_type=out_dtype)
+                bv = jnp.einsum("ab,bz->za", w, U,
+                                preferred_element_type=out_dtype)
+                return (jax.lax.dynamic_update_slice_in_dim(
+                            p_acc, pm[:C], start, 1),
+                        jax.lax.dynamic_update_slice_in_dim(
+                            pm_acc, pm[C:], start, 1),
+                        jax.lax.dynamic_update_slice_in_dim(
+                            bv_acc, bv, start, 1))
+            pm = jnp.einsum("ab,bz->az", msk, YZ,
+                            preferred_element_type=out_dtype)
+            bv = jnp.einsum("ab,bz->az", w, U,
+                            preferred_element_type=out_dtype)
+            return (jax.lax.dynamic_update_slice_in_dim(
+                        p_acc, pm[:, :C], start, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        pm_acc, pm[:, C:], start, 0),
+                    jax.lax.dynamic_update_slice_in_dim(
+                        bv_acc, bv, start, 0))
+
+        shp = ((C, n0), (K, n0)) if transposed else ((n0, C), (n0, K))
+        acc = (jnp.zeros(shp[0], out_dtype), jnp.zeros(shp[1], out_dtype),
+               jnp.zeros(shp[1], out_dtype))
+        if full:
+            acc = jax.lax.fori_loop(
+                0, full, lambda i, a: step(i * cn, cn, a), acc)
+        if rem:
+            acc = step(full * cn, rem, acc)
+        Pt, bm, bv = acc
+    else:
+        # focus = cols of V8: chunk over the CONTRACTION rows, accumulate
+        dn = (((0,), (0,)), ((), ()))
+
+        def step(start, size, acc):
+            p_acc, pm_acc, bv_acc = acc
+            wb = jax.lax.dynamic_slice_in_dim(V8, start, size, 0)
+            yzb = jax.lax.dynamic_slice_in_dim(YZ, start, size, 0)
+            ub = jax.lax.dynamic_slice_in_dim(U, start, size, 0)
+            msk = (wb != 0).astype(op_dtype)
+            w = wb.astype(op_dtype)
+            if transposed:
+                pm = jnp.einsum("ab,az->zb", msk, yzb,
+                                preferred_element_type=out_dtype)
+                bv = jnp.einsum("ab,az->zb", w, ub,
+                                preferred_element_type=out_dtype)
+                return (p_acc + pm[:C], pm_acc + pm[C:], bv_acc + bv)
+            pm = jax.lax.dot_general(msk, yzb, dn,
+                                     preferred_element_type=out_dtype)
+            bv = jax.lax.dot_general(w, ub, dn,
+                                     preferred_element_type=out_dtype)
+            return (p_acc + pm[:, :C], pm_acc + pm[:, C:], bv_acc + bv)
+
+        shp = ((C, n1), (K, n1)) if transposed else ((n1, C), (n1, K))
+        acc = (jnp.zeros(shp[0], out_dtype), jnp.zeros(shp[1], out_dtype),
+               jnp.zeros(shp[1], out_dtype))
+        if full:
+            acc = jax.lax.fori_loop(
+                0, full, lambda i, a: step(i * cn, cn, a), acc)
+        if rem:
+            acc = step(full * cn, rem, acc)
+        Pt, bm, bv = acc
+
+    b = c1 * bv + c0 * bm
+    if packed:
+        return Pt, b
+    P = jnp.take(Pt, jnp.asarray(expand), axis=1)
+    return P.reshape(n_focus, K, K), b
 
 
 def int8_pair_ok(idx: np.ndarray, shape: Sequence[int]) -> bool:

@@ -79,6 +79,16 @@ class MacauConfig:
     # same order as gram_dtype="bfloat16"'s rounding.  The gather path is
     # unaffected.
     dense_int8: bool = False
+    # Single-array fused dense path (ops/dense_gram.fused_gram_contrib):
+    # for arity-2 relations whose values sit on an exact small-integer
+    # grid (ratings, binary labels) and whose M/W pair exceeds the HBM
+    # budget, store ONE int8 value matrix and derive the observation mask
+    # on the fly inside the chunked MXU contraction — half the pair's
+    # footprint, exact values, no per-sweep quantization.  None = auto
+    # (engage exactly when the pair path cannot fit but the single array
+    # can — the Netflix-shaped sparse regime), False = never, True =
+    # wherever encodable (test/ablation knob).
+    dense_fused: Optional[bool] = None
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold

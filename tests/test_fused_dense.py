@@ -1,0 +1,181 @@
+"""The single-array fused dense path (ops/dense_gram.fused_* — the
+sparse-regime Gramian, VERDICT r2 next-round #1).
+
+Covers: the layout-invariant encoding eligibility, numerical agreement of
+fused_gram_contrib with the direct dense math in both orientations and
+output conventions, and the full engine running through the fused plan
+(oracle-equivalent at 1e-8 under injected randoms in f64)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import bayesiandatafusion_jl_tpu as bdf
+from bayesiandatafusion_jl_tpu.ops import dense_gram as dg
+from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+
+# ---------------------------------------------------------------------------
+# encoding eligibility (layout-invariant, host-side)
+# ---------------------------------------------------------------------------
+
+def _coo(rng, n0, n1, nnz):
+    lin = rng.choice(n0 * n1, size=nnz, replace=False)
+    return np.stack([lin // n1, lin % n1], 1).astype(np.int64)
+
+
+def test_encode_ratings_grid():
+    rng = np.random.default_rng(0)
+    idx = _coo(rng, 40, 30, 300)
+    vals = rng.integers(1, 6, 300).astype(np.float64)   # 1..5 stars
+    enc = dg.fused_pair_encode(idx, vals, (40, 30))
+    assert enc is not None
+    s, m = enc
+    e = dg.encode_fused_values(vals, s, m)
+    assert e.dtype == np.int8 and (e != 0).all()
+    np.testing.assert_allclose(s * (e.astype(np.float64) + m), vals,
+                               rtol=0, atol=1e-12)
+
+
+def test_encode_half_star_grid_and_binary():
+    rng = np.random.default_rng(1)
+    idx = _coo(rng, 25, 25, 200)
+    vals = rng.integers(1, 11, 200) * 0.5               # 0.5..5.0
+    s, m = dg.fused_pair_encode(idx, vals, (25, 25))
+    e = dg.encode_fused_values(vals, s, m)
+    assert (e != 0).all()
+    np.testing.assert_allclose(s * (e.astype(np.float64) + m), vals,
+                               atol=1e-12)
+    # binary labels include 0 -> the shift must keep codes nonzero
+    vb = rng.integers(0, 2, 200).astype(np.float64)
+    s, m = dg.fused_pair_encode(idx, vb, (25, 25))
+    e = dg.encode_fused_values(vb, s, m)
+    assert (e != 0).all()
+    np.testing.assert_allclose(s * (e.astype(np.float64) + m), vb,
+                               atol=1e-12)
+
+
+def test_encode_declines_continuous_duplicates_and_tensors():
+    rng = np.random.default_rng(2)
+    idx = _coo(rng, 30, 30, 400)
+    cont = rng.standard_normal(400)
+    assert dg.fused_pair_encode(idx, cont, (30, 30)) is None
+    vals = rng.integers(1, 6, 400).astype(np.float64)
+    dup = np.concatenate([idx, idx[:1]], 0)
+    dv = np.concatenate([vals, vals[:1]])
+    assert dg.fused_pair_encode(dup, dv, (30, 30)) is None
+    idx3 = np.concatenate([idx, idx[:, :1]], 1)
+    assert dg.fused_pair_encode(idx3, vals, (30, 30, 30)) is None
+
+
+def test_encode_wide_grid_declines():
+    rng = np.random.default_rng(3)
+    idx = _coo(rng, 30, 30, 500)
+    vals = rng.choice([0.0, 1.0, 1000.0], 500)   # range/step = 1000 > 253
+    assert dg.fused_pair_encode(idx, vals, (30, 30)) is None
+
+
+# ---------------------------------------------------------------------------
+# fused_gram_contrib vs direct dense math
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("focus_axis", [0, 1])
+@pytest.mark.parametrize("packed,transposed",
+                         [(False, False), (True, False), (True, True)])
+def test_fused_contrib_matches_direct(focus_axis, packed, transposed):
+    rng = np.random.default_rng(4 + focus_axis)
+    n0, n1, K = 37, 23, 4
+    nnz = 300
+    idx = _coo(rng, n0, n1, nnz)
+    vals = rng.integers(1, 6, nnz).astype(np.float64)
+    mean = float(vals.mean())
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    V8 = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    n_partner = n1 if focus_axis == 0 else n0
+    n_focus = n0 if focus_axis == 0 else n1
+    U = rng.standard_normal((n_partner, K))
+
+    P, b = dg.fused_gram_contrib(
+        jnp.asarray(V8), jnp.asarray(U), focus_axis,
+        jnp.float64, jnp.float64, s, m, mean,
+        packed=packed, transposed=transposed, row_chunks=5)
+    P, b = np.asarray(P), np.asarray(b)
+
+    # direct reference
+    M = (V8 != 0).astype(np.float64)
+    W = np.zeros((n0, n1))
+    lin = idx[:, 0] * n1 + idx[:, 1]
+    W.reshape(-1)[lin] = vals - mean
+    if focus_axis == 1:
+        M, W = M.T, W.T
+    P_want = np.einsum("ap,pk,pl->akl", M, U, U)
+    b_want = W @ U
+    if packed:
+        iu, ju = np.triu_indices(K)
+        Pt_want = P_want[:, iu, ju]
+        if transposed:
+            np.testing.assert_allclose(P, Pt_want.T, rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(b, b_want.T, rtol=1e-9, atol=1e-9)
+        else:
+            np.testing.assert_allclose(P, Pt_want, rtol=1e-10, atol=1e-10)
+            np.testing.assert_allclose(b, b_want, rtol=1e-9, atol=1e-9)
+    else:
+        assert P.shape == (n_focus, K, K)
+        np.testing.assert_allclose(P, P_want, rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(b, b_want, rtol=1e-9, atol=1e-9)
+
+
+def test_fused_contrib_chunk_count_invariance():
+    """Different row_chunks must give identical results in f64 (same math,
+    chunked writes are disjoint; orientation-B partial sums reorder only
+    at f64 scale)."""
+    rng = np.random.default_rng(7)
+    n0, n1, K = 41, 17, 3          # 41 is prime: exercises the tail chunk
+    idx = _coo(rng, n0, n1, 200)
+    vals = rng.integers(1, 6, 200).astype(np.float64)
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    V8 = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    U = rng.standard_normal((n1, K))
+    outs = [np.asarray(dg.fused_gram_contrib(
+        jnp.asarray(V8), jnp.asarray(U), 0, jnp.float64, jnp.float64,
+        s, m, 2.0, row_chunks=rc)[0]) for rc in (1, 4, 41, 64)]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# engine-level: fused plan engages and stays oracle-equivalent
+# ---------------------------------------------------------------------------
+
+def _grid_rd(rng, n1=22, n2=17, density=0.5):
+    vals_grid = np.arange(1.0, 6.0)
+    mask = rng.random((n1, n2)) < density
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(vals_grid, idx.shape[0])
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+    return bdf.RelationData.from_indexed_df(df)
+
+
+def test_engine_fused_plan_oracle_equiv():
+    from tests.test_oracle_equiv import _run_equiv
+    rng = np.random.default_rng(11)
+    rd = _grid_rd(rng)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, dense_fused=True, seed=21)
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    eng = MacauEngine(rd, cfg)
+    assert eng.problem.fused_rels, "fused path did not engage"
+    assert all(p.kind == "fused" for p in eng.problem.dense_plans.values())
+    _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_engine_fused_auto_declines_when_pair_fits():
+    """Auto mode must prefer the (faster) pair path when it fits."""
+    rng = np.random.default_rng(12)
+    rd = _grid_rd(rng)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, seed=22)
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    eng = MacauEngine(rd, cfg)
+    assert not eng.problem.fused_rels
