@@ -34,6 +34,7 @@ the same stored array (no permuted copies).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -410,24 +411,53 @@ def build_fused_values(idx: np.ndarray, vals: np.ndarray,
     return V.reshape(n0, n1)
 
 
+_SCATTER_CHUNK_NNZ = 3_000_000
+
+
 def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
                               shape: Sequence[int], s: float, m: int):
-    """Device-side V8 build: ship the COO (9 bytes/nnz) and scatter on
+    """Device-side V8 build: ship the COO (~9 bytes/nnz) and scatter on
     chip.  The relayed host->device link in this sandbox moves ~20 MB/s
-    (probe r3), so at Netflix scale the 8.5 GB dense array would take ~7
-    minutes to upload while the COO is ~0.9 GB; the on-device scatter is
-    a one-time O(nnz) pass."""
+    (r3 probe), so at Netflix scale the 8.5 GB dense array would take ~7
+    minutes to upload while the COO is ~0.9 GB.
+
+    The scatter runs over ROW CHUNKS: TPU scatter materializes its index
+    operand in tiled layout, padding the trailing size-2 dim to 128 lanes
+    — one whole-array scatter at 100M nnz would transiently allocate
+    100M*128*4 = 51 GB (r3 probe failure).  Chunks bound that transient
+    (~64 B/nnz per chunk) and reuse ONE compiled scatter program."""
     n0, n1 = int(shape[0]), int(shape[1])
     e = encode_fused_values(vals, s, m)
-    i0 = jnp.asarray(idx[:, 0].astype(np.int32))
-    i1 = jnp.asarray(idx[:, 1].astype(np.int32))
-    ed = jnp.asarray(e)
+    nnz = idx.shape[0]
+    # ~3M-nnz chunks: index-pad transient ~1.6 GB, a few dozen dispatches
+    n_chunks = max(1, -(-nnz // _SCATTER_CHUNK_NNZ))
+    rows_per = -(-n0 // n_chunks)
+    order = np.argsort(idx[:, 0], kind="stable")
+    i0s = idx[order, 0].astype(np.int64)
+    i1s = idx[order, 1].astype(np.int64)
+    es = e[order]
+    bounds = np.searchsorted(i0s, np.arange(0, n0 + rows_per, rows_per))
+    seg = np.diff(bounds)
+    cap = int(seg.max()) if seg.size else 0
+    parts = []
 
-    @jax.jit
-    def scatter(i0, i1, ed):
-        return jnp.zeros((n0, n1), jnp.int8).at[i0, i1].set(ed)
+    @partial(jax.jit, static_argnums=(3,))
+    def scatter_chunk(r, c, ed, rows):
+        return (jnp.zeros((rows, n1), jnp.int8)
+                .at[r, c].set(ed, mode="drop"))
 
-    return scatter(i0, i1, ed)
+    for ci in range(len(seg)):
+        lo, hi = int(bounds[ci]), int(bounds[ci + 1])
+        rows = min(rows_per, n0 - ci * rows_per)
+        r = np.full(cap, rows, np.int32)        # OOB row -> dropped
+        c = np.zeros(cap, np.int32)
+        ee = np.zeros(cap, np.int8)
+        r[:hi - lo] = (i0s[lo:hi] - ci * rows_per).astype(np.int32)
+        c[:hi - lo] = i1s[lo:hi].astype(np.int32)
+        ee[:hi - lo] = es[lo:hi]
+        parts.append(scatter_chunk(jnp.asarray(r), jnp.asarray(c),
+                                   jnp.asarray(ee), rows))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def fused_gram_contrib(

@@ -256,6 +256,67 @@ def bench_fusion():
           dt=dt, m=m, flops=eng.problem.flops_per_sweep())
 
 
+def bench_netflix(gather=False, smoke=False):
+    """Config #6 (VERDICT r2 #1): the dense-pair-INELIGIBLE sparse regime.
+
+    Netflix-prize-shaped: 480,189 users x 17,770 movies, 100,480,507
+    observed integer ratings 1..5, rank 32.  The int8 M/W pair would be
+    17.1 GB (> the 9 GB dense budget AND > HBM), so the auto plan engages
+    the single-array fused path (8.5 GB, mask derived on the fly);
+    ``gather=True`` forces the bucketed gather path instead — the
+    baseline this config exists to beat."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    warm = _warm_async()
+    n1, n2, r = (480_189, 17_770, 32) if not smoke else (4_800, 1_700, 32)
+    nnz = 100_480_507 if not smoke else 1_000_000
+    t0 = time.time()
+    rng = np.random.default_rng(9)
+    key = np.unique(rng.integers(0, n1 * n2, int(nnz * 1.02),
+                                 dtype=np.int64))
+    key = rng.permutation(key)[:nnz] if key.size > nnz else key
+    nnz = key.size
+    i1 = (key // n2).astype(np.int32)
+    i2 = (key % n2).astype(np.int32)
+    del key
+    U = rng.standard_normal((n1, r), dtype=np.float32) / np.sqrt(r)
+    V = rng.standard_normal((n2, r), dtype=np.float32) / np.sqrt(r)
+    score = np.einsum("nk,nk->n", U[i1], V[i2])
+    del U, V
+    score = score * np.sqrt(r) * 0.9 + 0.55 * rng.standard_normal(
+        nnz, dtype=np.float32)
+    vals = np.clip(np.rint(3.6 + 1.1 * score), 1.0, 5.0).astype(np.float64)
+    del score
+    df = bdf.IndexedDF(np.stack([i1, i2], 1), vals, (n1, n2))
+    del i1, i2, vals
+    rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
+    rd.assign_to_test(0, 100_000, seed=7)
+    print(f"# netflix data gen: {time.time()-t0:.1f}s (nnz={df.nnz})",
+          file=sys.stderr)
+    sweeps = 8
+    cfg = MacauConfig(num_latent=r, burnin=sweeps, psamples=0,
+                      clamp=(1.0, 5.0), verbose=False, dtype="float32",
+                      gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
+                      sweeps_per_dispatch=sweeps, dense_int8=True,
+                      dense_gram=None if not gather else False)
+    t0 = time.time()
+    eng = MacauEngine(rd, cfg)
+    mode = "gather" if gather else "fused"
+    if not gather:
+        assert eng.problem.fused_rels, "fused path did not engage"
+    print(f"# netflix engine build ({mode}): {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    warm.join()
+    dt, m = _time_engine(eng, sweeps, f"netflix-{mode}")
+    n_rows = sum(es.n for es in eng.problem.entity_specs)
+    rmse = m.get("rmse_at_sweeps", m["r0.rmse_sample"])
+    _emit(f"netflix-shaped rows/s/chip ({mode}; 480k x 17.8k, 100.5M nnz, "
+          f"r32; rmse_sample@{sweeps}={rmse:.4f})", n_rows / dt,
+          dt=dt, m=m, flops=eng.problem.flops_per_sweep())
+
+
 def main():
     if os.environ.get("BENCH_CPU") == "1":
         # force CPU for local smoke runs (the axon sitecustomize pins the
@@ -278,6 +339,10 @@ def main():
         bench_tensor()
     elif cfg == "fusion":
         bench_fusion()
+    elif cfg == "netflix":
+        bench_netflix(smoke=smoke)
+    elif cfg == "netflix_gather":
+        bench_netflix(gather=True, smoke=smoke)
     elif cfg == "sharded1":
         bench_ml("100k" if smoke else "10m", 10 if smoke else 40,
                  sharded=True)

@@ -144,6 +144,22 @@ def test_fused_contrib_chunk_count_invariance():
         np.testing.assert_allclose(o, outs[0], rtol=1e-12, atol=1e-12)
 
 
+def test_device_build_chunked_matches_host(monkeypatch):
+    """The chunked device scatter (TPU index-pad workaround) must equal the
+    host build bit-for-bit, including OOB-dropped pad entries and the
+    smaller tail chunk."""
+    rng = np.random.default_rng(9)
+    n0, n1 = 701, 37                    # odd sizes; prime row count
+    lin = rng.choice(n0 * n1, 4000, replace=False)
+    idx = np.stack([lin // n1, lin % n1], 1)
+    vals = rng.integers(1, 6, 4000).astype(np.float64)
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    Vh = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    monkeypatch.setattr(dg, "_SCATTER_CHUNK_NNZ", 500)  # force many chunks
+    Vd = dg.build_fused_values_device(idx, vals, (n0, n1), s, m)
+    assert (np.asarray(Vd) == Vh).all()
+
+
 # ---------------------------------------------------------------------------
 # engine-level: fused plan engages and stays oracle-equivalent
 # ---------------------------------------------------------------------------
