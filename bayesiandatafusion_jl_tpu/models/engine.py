@@ -697,21 +697,29 @@ class MacauEngine(GibbsDriverMixin):
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
                 # kernel-layout accumulation: Pp [C, N], b [K, N] straight
                 # out of the flipped einsums (dense_gram transposed=True) —
-                # no [N, C] -> [C, N] pre-kernel transpose pass
-                b_acc = jnp.einsum("nk,kj->jn", prior_mean, Lambda)
+                # no [N, C] -> [C, N] pre-kernel transpose pass.  Fused
+                # contributions keep the natural [N, C] layout instead:
+                # XLA runs the flipped MASKED dot 2.5x slower (r3 probe
+                # 236 vs 95 ms at Netflix scale), which dwarfs the saved
+                # transpose.
+                trans = not any(p.kind == "fused"
+                                for *_r, p in dense_contribs)
+                b_acc = (jnp.einsum("nk,kj->jn", prior_mean, Lambda)
+                         if trans else
+                         jnp.einsum("nk,kj->nj", prior_mean, Lambda))
                 Pp_acc = None
                 for alpha, partners, ri, mode, plan in dense_contribs:
                     with jax.named_scope(f"dense_r{ri}m{mode}"):
                         mdt = gd if gd is not None else dtype
                         P_p, b_d = self._dense_mode_contrib(
                             arrays, ri, mode, plan, partners, dtype, mdt,
-                            packed=True, transposed=True)
+                            packed=True, transposed=trans)
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
                 ent["U"] = chol_sample_packed_dispatch(
                     Pp_acc, b_acc, randoms[f"e{ei}.xi"], Lambda,
-                    cfg.chol_jitter, transposed=True)
+                    cfg.chol_jitter, transposed=trans)
                 ents[ei] = ent
                 metrics[f"e{ei}.unorm"] = jnp.linalg.norm(ent["U"])
                 if es.has_features:

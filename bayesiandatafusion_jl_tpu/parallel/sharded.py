@@ -144,11 +144,31 @@ class ShardedProblem:
                                      [e.count for e in rel.entities])
                  for rel in rd.relations]
         base_item = jnp.dtype(store_jnp).itemsize
+        pair_item = [1 if ok else base_item for ok in i8_ok]
+        shapes = [tuple(e.count for e in rel.entities)
+                  for rel in rd.relations]
+        # single-array fused path: the encoding + engagement arguments are
+        # IDENTICAL to the single-device engine's (original idx/vals, true
+        # counts, same budget) so both engines always pick the same set
+        fused_enc = [None] * len(rd.relations)
+        if config.dense_fused is not False and config.dense_gram is not False:
+            for ri, rel in enumerate(rd.relations):
+                if (rel.arity == 2 and rel.data.nnz
+                        and (config.dense_fused
+                             or rel.data.nnz >= dg._AUTO_MIN_NNZ)):
+                    fused_enc[ri] = dg.fused_pair_encode(
+                        rel.data.idx, rel.data.vals, shapes[ri])
+        self.fused_rels, fused_spent = dg.plan_fused_rels(
+            shapes, [rel.data.nnz for rel in rd.relations],
+            config.num_latent, config.dense_gram, config.dense_fused,
+            fused_enc, pair_item, config.dense_gram_budget_gb * 1e9)
         self.dense_plans, _, _ = dg.plan_dense_modes(
-            [tuple(e.count for e in rel.entities) for rel in rd.relations],
-            [rel.data.nnz for rel in rd.relations], config.num_latent,
-            config.dense_gram, config.dense_gram_budget_gb * 1e9,
-            [1 if ok else base_item for ok in i8_ok], per_mode_pairs=True)
+            shapes,
+            [0 if ri in self.fused_rels else rel.data.nnz
+             for ri, rel in enumerate(rd.relations)], config.num_latent,
+            config.dense_gram,
+            config.dense_gram_budget_gb * 1e9 - fused_spent,
+            pair_item, per_mode_pairs=True)
 
         for ri, rel in enumerate(rd.relations):
             mean_value = float(rel.data.vals.mean()) if rel.data.nnz else 0.0
@@ -163,9 +183,36 @@ class ShardedProblem:
             idx_p = np.stack([pos_of[eids[d]][rel.data.idx[:, d]]
                               for d in range(rel.arity)], axis=1)
             centered = rel.data.vals - mean_value
+            if ri in self.fused_rels:
+                # ONE row-sharded int8 value array serves both modes:
+                # mode 0 contracts its local slab (focus rows, no comm);
+                # mode 1 contracts the SHARDED axis and psum_scatters the
+                # partials straight into each device's focus slice.
+                # Stored in the permuted+padded layout; pad cells are 0 =
+                # unobserved, so they contribute nothing through the mask.
+                s_, m_ = self.fused_rels[ri]
+                dims_pad = [self.ent_meta[eids[d]].n_pad
+                            for d in range(rel.arity)]
+                e8 = dg.encode_fused_values(rel.data.vals, s_, m_)
+                lin_p = (idx_p[:, 0].astype(np.int64) * dims_pad[1]
+                         + idx_p[:, 1])
+                V = np.zeros(dims_pad[0] * dims_pad[1], np.int8)
+                V[lin_p] = e8
+                meta0 = self.ent_meta[eids[0]]
+                arrays_sh["dense"][f"r{ri}"] = {"V8": jnp.asarray(
+                    V.reshape(n_dev, meta0.n_loc, dims_pad[1]))}
+                del V
+                for mode in range(rel.arity):
+                    self.dense_plans[(ri, mode)] = dg.DenseModePlan(
+                        "fused", dims_pad[mode],
+                        (dims_pad[1 - mode],))
+                    arrays_sh["layouts"][f"r{ri}m{mode}"] = []
+                    host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
             for mode in range(rel.arity):
                 em = eids[mode]
                 meta = self.ent_meta[em]
+                if ri in self.fused_rels:
+                    continue
                 if (ri, mode) in self.dense_plans:
                     # full permuted+padded pair [n_pad, prod partner n_pad];
                     # reshape to [n_dev, n_loc, Np] IS the per-device stack
@@ -846,11 +893,40 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                         problem.ent_meta[rs.entity_ids[d]].n_pad
                         for d in range(rs.arity) if d != mode)
                     dense_contribs.append(
-                        (rels[ri]["alpha"], partners, ri, mode, dims_sh))
+                        (rels[ri]["alpha"], partners, ri, mode, dims_sh,
+                         plan))
                     continue
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
+
+        def fused_contrib(ri, mode, partners, mdt, packed=False,
+                          transposed=False):
+            """Fused single-array mode under sharding: mode 0 contracts
+            the local row slab (focus rows — no collectives); mode 1
+            contracts the SHARDED axis against the owner's partner-row
+            slice and psum_scatters the partial sums straight into each
+            device's focus slice (n_pad is a multiple of n_dev)."""
+            from ..ops.dense_gram import fused_gram_contrib
+            rs = problem.rel_specs[ri]
+            s_, m_ = problem.fused_rels[ri]
+            V8 = loc(arrays_sh["dense"])[f"r{ri}"]["V8"]
+            if mode == 0:
+                return fused_gram_contrib(
+                    V8, partners[0], 0, dtype, mdt, s_, m_, rs.mean_value,
+                    packed=packed, transposed=transposed)
+            meta0 = problem.ent_meta[rs.entity_ids[0]]
+            U0_loc = jax.lax.dynamic_slice_in_dim(
+                partners[0], me * meta0.n_loc, meta0.n_loc, 0)
+            P_part, b_part = fused_gram_contrib(
+                V8, U0_loc, 1, dtype, mdt, s_, m_, rs.mean_value,
+                packed=packed, transposed=transposed)
+            sd = 1 if transposed else 0
+            P_d = jax.lax.psum_scatter(P_part, AXIS,
+                                       scatter_dimension=sd, tiled=True)
+            b_d = jax.lax.psum_scatter(b_part, AXIS,
+                                       scatter_dimension=sd, tiled=True)
+            return P_d, b_d
         # packed-triangle fast path (mirrors models/engine.py): all-dense
         # entity + unrolled Pallas sampler => P stays [n_loc, K(K+1)/2].
         # Dense modes never head-split (row-balanced MXU work), so the
@@ -860,18 +936,30 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 and not contribs and not meta.n_head
                 and cfg.accumulation != "planned"):
             # kernel-layout accumulation (mirrors models/engine.py):
-            # Pp [C, n_loc], b [K, n_loc] from the flipped einsums
-            b_acc = jnp.einsum("nk,kj->jn", prior_mean, Lambda)
-            for alpha, partners, ri, mode, dims_sh in dense_contribs:
+            # Pp [C, n_loc], b [K, n_loc] from the flipped einsums — except
+            # with fused contributions, whose flipped masked dot runs 2.5x
+            # slower (r3 probe): those keep the natural [n_loc, C] layout
+            packed_trans = not any(p.kind == "fused"
+                                   for *_r, p in dense_contribs)
+            b_acc = (jnp.einsum("nk,kj->jn", prior_mean, Lambda)
+                     if packed_trans else
+                     jnp.einsum("nk,kj->nj", prior_mean, Lambda))
+            for alpha, partners, ri, mode, dims_sh, plan in dense_contribs:
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
                     mdt = gd if gd is not None else dtype
-                    sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
-                    P_p, b_d = dense_gram_contrib(
-                        sl_d["M"], sl_d["W"], partners, 0, dims_sh, dtype,
-                        mdt, packed=True, transposed=True,
-                        w_scale=problem.dense_w_scale.get((ri, mode)),
-                        n_valid=_dense_partner_n(problem, ri, mode),
-                        ridge_deg=sl_d.get("deg"))
+                    if plan.kind == "fused":
+                        P_p, b_d = fused_contrib(ri, mode, partners, mdt,
+                                                 packed=True,
+                                                 transposed=packed_trans)
+                    else:
+                        sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
+                        P_p, b_d = dense_gram_contrib(
+                            sl_d["M"], sl_d["W"], partners, 0, dims_sh,
+                            dtype, mdt, packed=True,
+                            transposed=packed_trans,
+                            w_scale=problem.dense_w_scale.get((ri, mode)),
+                            n_valid=_dense_partner_n(problem, ri, mode),
+                            ridge_deg=sl_d.get("deg"))
                     packed_P = (alpha * P_p if packed_P is None
                                 else packed_P + alpha * P_p)
                     b_acc = b_acc + alpha * b_d
@@ -906,15 +994,18 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         # sharded contractions, no collectives (head rows accumulate fully
         # on their owner; added after the ghost fold, like the single-
         # device add)
-        for alpha, partners, ri, mode, dims_sh in dense_contribs:
+        for alpha, partners, ri, mode, dims_sh, plan in dense_contribs:
             with jax.named_scope(f"dense_r{ri}m{mode}"):
                 mdt = gd if gd is not None else dtype
-                sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
-                P_d, b_d = dense_gram_contrib(
-                    sl["M"], sl["W"], partners, 0, dims_sh, dtype, mdt,
-                    w_scale=problem.dense_w_scale.get((ri, mode)),
-                    n_valid=_dense_partner_n(problem, ri, mode),
-                    ridge_deg=sl.get("deg"))
+                if plan.kind == "fused":
+                    P_d, b_d = fused_contrib(ri, mode, partners, mdt)
+                else:
+                    sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
+                    P_d, b_d = dense_gram_contrib(
+                        sl["M"], sl["W"], partners, 0, dims_sh, dtype, mdt,
+                        w_scale=problem.dense_w_scale.get((ri, mode)),
+                        n_valid=_dense_partner_n(problem, ri, mode),
+                        ridge_deg=sl.get("deg"))
                 P_acc = P_acc + alpha * P_d
                 b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]
@@ -931,11 +1022,13 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         def _samp(sl):
             if packed_P is not None:
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
-                return chol_sample_packed_dispatch(packed_P[:, sl],
-                                                   b_acc[:, sl],
-                                                   xi_loc[sl], Lambda,
-                                                   cfg.chol_jitter,
-                                                   transposed=True)
+                if packed_trans:
+                    return chol_sample_packed_dispatch(
+                        packed_P[:, sl], b_acc[:, sl], xi_loc[sl], Lambda,
+                        cfg.chol_jitter, transposed=True)
+                return chol_sample_packed_dispatch(
+                    packed_P[sl], b_acc[sl], xi_loc[sl], Lambda,
+                    cfg.chol_jitter, transposed=False)
             return chol_sample_dispatch(cfg, P_acc[sl], b_acc[sl],
                                         xi_loc[sl], Lambda=fused_lam)
 

@@ -186,6 +186,40 @@ def test_engine_fused_plan_oracle_equiv():
     _run_equiv(rd, cfg, n_sweeps=3)
 
 
+def test_engine_fused_packed_fast_path_matches(monkeypatch):
+    """The packed Pallas fast path with fused contributions uses the
+    NATURAL (non-transposed) layout (the flipped masked dot is 2.5x
+    slower on TPU, r3 probe); interpret-mode run must match the plain
+    XLA path."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.rng import draw_all_numpy
+
+    rng = np.random.default_rng(13)
+    rd = _grid_rd(rng)
+    outs = []
+    for pallas in ("on", "off"):
+        cfg = MacauConfig(num_latent=3, verbose=False, dtype="float32",
+                          dense_gram=True, dense_fused=True, seed=23,
+                          pallas=pallas)
+        eng = MacauEngine(rd, cfg)
+        key = jax.random.key(cfg.seed)
+        state = eng.init_state(jax.random.fold_in(key, 0))
+        nrng = np.random.default_rng(77)
+        for _ in range(2):
+            randoms = draw_all_numpy(nrng, eng.problem.random_spec)
+            jr = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in randoms.items()}
+            state, _ = eng._sweep_randoms_jit(eng.problem.arrays, state,
+                                              jr, 0.0)
+        outs.append(np.asarray(state["ent"][0]["U"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+
+
 def test_engine_fused_auto_declines_when_pair_fits():
     """Auto mode must prefer the (faster) pair path when it fits."""
     rng = np.random.default_rng(12)

@@ -324,6 +324,56 @@ def test_sharded_dense_int8_matches_single():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_fused_matches_single():
+    """Single-array fused dense path on both engines: mode 0 contracts the
+    row-sharded V8 slab locally; mode 1 contracts the sharded axis and
+    psum_scatters partials into each device's focus slice.  Grid-valued
+    relation so the exact encoding engages; 1e-8 parity in f64."""
+    rng = np.random.default_rng(23)
+    n1, n2 = 53, 37
+    mask = rng.random((n1, n2)) < 0.5
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(np.arange(1.0, 6.0), idx.shape[0])
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, dense_fused=True,
+                      seed=5, clamp=(1.0, 5.0))
+    eng8 = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert eng8.problem.fused_rels, "fused path did not engage (sharded)"
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_fused_with_head_split():
+    """Fused modes ignore head splitting (row-balanced MXU work); the
+    ghost-slot machinery must stay structurally idle and parity hold."""
+    rng = np.random.default_rng(29)
+    n1, n2 = 53, 9
+    mask = rng.random((n1, n2)) < 0.4
+    mask[:, 0] = True                       # head partner instance
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(np.arange(1.0, 6.0), idx.shape[0])
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 30, seed=1)
+        return rd
+
+    cfg = MacauConfig(num_latent=3, burnin=1, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, dense_fused=True,
+                      head_split_degree=40, seed=7)
+    _compare_engines(build, cfg, n_sweeps=3)
+
+
 def test_sharded_dense_gram_tensor_multirel():
     """Dense sharded slabs for a fusion graph with a 3-way tensor: every
     mode of every relation goes dense (per-mode pairs), alpha sampled."""
