@@ -429,35 +429,29 @@ def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
     n0, n1 = int(shape[0]), int(shape[1])
     e = encode_fused_values(vals, s, m)
     nnz = idx.shape[0]
-    # ~3M-nnz chunks: index-pad transient ~1.6 GB, a few dozen dispatches
+    # ~3M-nnz chunks: index-pad transient ~1.6 GB, a few dozen dispatches.
+    # Every chunk scatters INTO one donated buffer (a concatenate of chunk
+    # slabs would transiently hold 2x the array).
     n_chunks = max(1, -(-nnz // _SCATTER_CHUNK_NNZ))
-    rows_per = -(-n0 // n_chunks)
-    order = np.argsort(idx[:, 0], kind="stable")
-    i0s = idx[order, 0].astype(np.int64)
-    i1s = idx[order, 1].astype(np.int64)
-    es = e[order]
-    bounds = np.searchsorted(i0s, np.arange(0, n0 + rows_per, rows_per))
-    seg = np.diff(bounds)
-    cap = int(seg.max()) if seg.size else 0
-    parts = []
+    cap = -(-nnz // n_chunks)
 
-    @partial(jax.jit, static_argnums=(3,))
-    def scatter_chunk(r, c, ed, rows):
-        return (jnp.zeros((rows, n1), jnp.int8)
-                .at[r, c].set(ed, mode="drop"))
+    @partial(jax.jit, donate_argnums=(0,))
+    def scatter_chunk(V, r, c, ed):
+        return V.at[r, c].set(ed, mode="drop")
 
-    for ci in range(len(seg)):
-        lo, hi = int(bounds[ci]), int(bounds[ci + 1])
-        rows = min(rows_per, n0 - ci * rows_per)
-        r = np.full(cap, rows, np.int32)        # OOB row -> dropped
+    V = jnp.zeros((n0, n1), jnp.int8)
+    for ci in range(n_chunks):
+        lo = ci * cap
+        hi = min(lo + cap, nnz)
+        r = np.full(cap, n0, np.int32)          # OOB row -> dropped
         c = np.zeros(cap, np.int32)
         ee = np.zeros(cap, np.int8)
-        r[:hi - lo] = (i0s[lo:hi] - ci * rows_per).astype(np.int32)
-        c[:hi - lo] = i1s[lo:hi].astype(np.int32)
-        ee[:hi - lo] = es[lo:hi]
-        parts.append(scatter_chunk(jnp.asarray(r), jnp.asarray(c),
-                                   jnp.asarray(ee), rows))
-    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        r[:hi - lo] = idx[lo:hi, 0].astype(np.int32)
+        c[:hi - lo] = idx[lo:hi, 1].astype(np.int32)
+        ee[:hi - lo] = e[lo:hi]
+        V = scatter_chunk(V, jnp.asarray(r), jnp.asarray(c),
+                          jnp.asarray(ee))
+    return V
 
 
 def fused_gram_contrib(
