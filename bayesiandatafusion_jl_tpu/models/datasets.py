@@ -99,12 +99,25 @@ def synthetic_ratings(n_users: int, n_movies: int, nnz: int,
 def synthetic_chembl(n_compounds: int = 15_000, n_targets: int = 346,
                      n_features: int = 32_000, nnz: int = 300_000,
                      feat_per_compound: int = 40, rank: int = 16,
+                     feat_frac: float = 0.85, obs_noise: float = 0.25,
                      seed: int = 0) -> RelationData:
     """ChEMBL-IC50-shaped fusion problem: compound x target activities on
     the log10(IC50 nM) scale (active <=> value < CLASS_CUT_IC50 =
     log10(200), the reference README convention) with sparse binary
     ECFP-like compound features driving the latents (SURVEY §1: the Macau
-    paper's benchmark shape)."""
+    paper's benchmark shape).
+
+    Two properties make the generator DISCRIMINATIVE (VERDICT r2 #4 —
+    the r2 version gave features ~12% of latent variance and uniform
+    compound degrees, so featureless BPMF matched Macau and AUC guarded
+    nothing):
+
+    - ``feat_frac`` of each latent dim's variance comes from the feature
+      map (ECFP determines activity, as in the real assay panels);
+    - compound degrees follow a power law (most compounds have a handful
+      of measurements — exactly where the ChEMBL workload needs the side
+      information, Macau paper §IV), so stripping features must cost AUC.
+    """
     rng = np.random.default_rng(seed)
     # sparse binary features
     fr = np.repeat(np.arange(n_compounds),
@@ -115,20 +128,31 @@ def synthetic_chembl(n_compounds: int = 15_000, n_targets: int = 346,
     from ..ops.sparse import SparseBinMatrix
     F = SparseBinMatrix(fr.astype(np.int32), fc.astype(np.int32),
                         (n_compounds, n_features))
-    # latents partially explained by features
-    beta = rng.standard_normal((n_features, rank)) * 0.15
-    Uc = F.matmul(beta) / np.sqrt(feat_per_compound) \
-        + 0.4 * rng.standard_normal((n_compounds, rank))
+    # feature-dominated latents: normalize the feature map to unit
+    # per-dim std, then mix with `1 - feat_frac` residual chemistry
+    beta = rng.standard_normal((n_features, rank))
+    Uf = F.matmul(beta)
+    Uf /= Uf.std(axis=0, keepdims=True) + 1e-12
+    Uc = (np.sqrt(feat_frac) * Uf
+          + np.sqrt(1.0 - feat_frac) * rng.standard_normal(
+              (n_compounds, rank)))
     Ut = rng.standard_normal((n_targets, rank))
-    c = rng.integers(0, n_compounds, int(nnz * 1.3))
-    t = rng.integers(0, n_targets, int(nnz * 1.3))
-    key = np.unique(c.astype(np.int64) * n_targets + t)[:nnz]
+    # power-law compound panel sizes (head compounds screened widely,
+    # the long tail measured once or twice)
+    comp_p = 1.0 / np.arange(1, n_compounds + 1) ** 0.7
+    comp_p /= comp_p.sum()
+    comp_cdf = np.cumsum(comp_p)
+    c = np.searchsorted(comp_cdf, rng.random(int(nnz * 1.6)))
+    c = rng.permutation(c)
+    t = rng.integers(0, n_targets, len(c))
+    key = np.unique(c.astype(np.int64) * n_targets + t)
+    key = rng.permutation(key)[:nnz]
     c, t = key // n_targets, key % n_targets
     # values on the log10(IC50 nM) scale that CLASS_CUT_IC50 = log10(200)
     # applies to (active <=> value < cut, the reference README convention)
     # — centered near the cut so the classification split is non-degenerate
-    lic50 = 2.0 + np.sum(Uc[c] * Ut[t], axis=1) / np.sqrt(rank) \
-        + 0.3 * rng.standard_normal(len(c))
+    lic50 = 2.2 + 0.8 * np.sum(Uc[c] * Ut[t], axis=1) / np.sqrt(rank) \
+        + obs_noise * rng.standard_normal(len(c))
     df = IndexedDF(np.stack([c, t], axis=1), lic50,
                    (n_compounds, n_targets))
     rd = RelationData.from_matrix(df, feat1=F,

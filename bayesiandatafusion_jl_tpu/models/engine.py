@@ -134,10 +134,17 @@ class CompiledProblem:
             config.dense_gram,
             config.dense_gram_budget_gb * 1e9 - fused_spent,
             pair_item)
+        # Pallas fused kernel when the Pallas sampler family is on (TPU
+        # f32 auto, or forced): on TPU BOTH V8 orientations must go
+        # through the kernel or XLA materializes a transposed copy of the
+        # whole array (7.96 GB at Netflix scale — r3 OOM); the kernel
+        # needs block-multiple shapes, so pad the store (cells stay 0)
+        self.fused_pallas = use_pallas_chol(config)
         for ri, _enc in self.fused_rels.items():
             rel = rd.relations[ri]
             arrays["dense"][f"r{ri}"] = {"V8": dg.build_fused_values_device(
-                rel.data.idx, rel.data.vals, shapes[ri], *_enc)}
+                rel.data.idx, rel.data.vals, shapes[ri], *_enc,
+                pad_to=(1024, 512) if self.fused_pallas else None)}
             for mode in range(2):
                 self.dense_plans[(ri, mode)] = dg.DenseModePlan(
                     "fused", shapes[ri][mode],
@@ -811,11 +818,14 @@ class MacauEngine(GibbsDriverMixin):
         st = arrays["dense"][f"r{ri}"]
         if plan.kind == "fused":
             s, m = self.problem.fused_rels[ri]
+            rs = self.problem.rel_specs[ri]
             from ..ops.dense_gram import fused_gram_contrib
             return fused_gram_contrib(
                 st["V8"], partners[0], mode, dtype, mdt, s, m,
-                self.problem.rel_specs[ri].mean_value,
-                packed=packed, transposed=transposed)
+                rs.mean_value, packed=packed, transposed=transposed,
+                dims=tuple(self.problem.entity_specs[e].n
+                           for e in rs.entity_ids),
+                use_pallas=self.problem.fused_pallas)
         dims = list(plan.partner_counts)
         dims.insert(mode, plan.n_focus)
         return dense_gram_contrib(

@@ -415,7 +415,8 @@ _SCATTER_CHUNK_NNZ = 3_000_000
 
 
 def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
-                              shape: Sequence[int], s: float, m: int):
+                              shape: Sequence[int], s: float, m: int,
+                              pad_to: Optional[Tuple[int, int]] = None):
     """Device-side V8 build: ship the COO (~9 bytes/nnz) and scatter on
     chip.  The relayed host->device link in this sandbox moves ~20 MB/s
     (r3 probe), so at Netflix scale the 8.5 GB dense array would take ~7
@@ -425,8 +426,14 @@ def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
     operand in tiled layout, padding the trailing size-2 dim to 128 lanes
     — one whole-array scatter at 100M nnz would transiently allocate
     100M*128*4 = 51 GB (r3 probe failure).  Chunks bound that transient
-    (~64 B/nnz per chunk) and reuse ONE compiled scatter program."""
+    (~64 B/nnz per chunk) and reuse ONE compiled scatter program.
+
+    ``pad_to=(rb, cb)`` rounds the stored shape up to block multiples for
+    the Pallas fused kernel (pad cells stay 0 = unobserved)."""
     n0, n1 = int(shape[0]), int(shape[1])
+    if pad_to is not None:
+        n0 = -(-n0 // pad_to[0]) * pad_to[0]
+        n1 = -(-n1 // pad_to[1]) * pad_to[1]
     e = encode_fused_values(vals, s, m)
     nnz = idx.shape[0]
     # ~3M-nnz chunks: index-pad transient ~1.6 GB, a few dozen dispatches.
@@ -455,7 +462,8 @@ def build_fused_values_device(idx: np.ndarray, vals: np.ndarray,
 
 
 def fused_gram_contrib(
-    V8: jax.Array,                 # [n0, n1] int8 (0 = unobserved)
+    V8: jax.Array,                 # [n0p, n1p] int8 (0 = unobserved),
+                                   # possibly zero-padded past `dims`
     partner: jax.Array,            # [N_partner, K] partner factors
     focus_axis: int,               # 0 or 1 (arity 2 only)
     out_dtype,
@@ -466,6 +474,8 @@ def fused_gram_contrib(
     packed: bool = False,
     transposed: bool = False,
     row_chunks: int = 32,
+    dims: Optional[Tuple[int, int]] = None,  # real (n0, n1); None = V8.shape
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs from the single fused int8 array.
 
@@ -473,12 +483,18 @@ def fused_gram_contrib(
     triangle / transposed kernel layout / full [N, K, K]); the returned b
     is already centered: ``b = s*(V8 @ Z) + (s*shift - mean)*(M @ Z)``.
 
-    The mask and value operands are derived from V8 IN CHUNKS inside a
-    ``fori_loop`` — an unchunked einsum materializes the full bf16 mask
-    (8.5 GB -> 17 GB at Netflix scale) and runs at HBM speed (~16-27
-    TFLOP/s, r3 probe) while the chunked form stays compute-bound
-    (~114 TFLOP/s).  Both engines use the same chunk count so float
-    summation patterns agree.
+    Two compute paths:
+
+    - ``use_pallas=True`` (TPU): ops/pallas_fused.fused_pair_pallas —
+      int8 blocks loaded once into VMEM, mask derived in-register, MXU
+      dots in EITHER orientation from the one stored layout.  Required
+      on TPU when both modes run in one program: XLA otherwise
+      materializes a full transposed copy of V8 for the second
+      orientation (7.96 GB at Netflix scale — the r3 OOM).
+    - XLA fallback (CPU, f64 parity seams): mask/value operands derived
+      IN CHUNKS inside a ``fori_loop`` — an unchunked einsum
+      materializes the full bf16 mask (2x the stored bytes) and runs at
+      HBM speed (~16-27 TFLOP/s vs ~114 chunked, r3 probe).
     """
     assert not transposed or packed, "transposed requires packed=True"
     K = partner.shape[-1]
@@ -488,9 +504,32 @@ def fused_gram_contrib(
     YZ = jnp.concatenate([Y, U], axis=1)        # [Npartner, C + K]
     C = Y.shape[1]
     n0, n1 = V8.shape
-    n_focus = n0 if focus_axis == 0 else n1
+    rdims = tuple(int(d) for d in dims) if dims is not None else (n0, n1)
+    n_focus = rdims[focus_axis]
+    n_contract = n0 + n1 - V8.shape[focus_axis]  # padded contract extent
+    if YZ.shape[0] != n_contract:
+        # zero-pad partner rows to V8's padded contract dim (pad cells of
+        # V8 are 0 = unobserved, so padded rows contribute nothing)
+        padn = n_contract - YZ.shape[0]
+        YZ = jnp.concatenate(
+            [YZ, jnp.zeros((padn, YZ.shape[1]), YZ.dtype)])
+        U = jnp.concatenate([U, jnp.zeros((padn, K), U.dtype)])
     c1 = jnp.asarray(scale, out_dtype)
     c0 = jnp.asarray(scale * shift - mean, out_dtype)
+
+    if use_pallas:
+        from .pallas_fused import fused_pair_pallas
+        PM, BV = fused_pair_pallas(V8, YZ, U, focus_axis)
+        PM = PM[:n_focus].astype(out_dtype)
+        BV = BV[:n_focus].astype(out_dtype)
+        Pt = PM[:, :C]
+        b = c1 * BV + c0 * PM[:, C:]
+        if packed and transposed:
+            return Pt.T, b.T
+        if packed:
+            return Pt, b
+        P = jnp.take(Pt, jnp.asarray(expand), axis=1)
+        return P.reshape(n_focus, K, K), b
 
     # chunk the n0 axis: ceil-sized full chunks via fori_loop plus one
     # statically-sized tail (n0 need not divide; a divisor search would
@@ -572,6 +611,13 @@ def fused_gram_contrib(
             acc = step(full * cn, rem, acc)
         Pt, bm, bv = acc
 
+    if V8.shape[focus_axis] != n_focus:
+        # strip padded focus rows (zero — V8 pad cells are unobserved)
+        if transposed:
+            Pt, bm, bv = (Pt[:, :n_focus], bm[:, :n_focus],
+                          bv[:, :n_focus])
+        else:
+            Pt, bm, bv = Pt[:n_focus], bm[:n_focus], bv[:n_focus]
     b = c1 * bv + c0 * bm
     if packed:
         return Pt, b

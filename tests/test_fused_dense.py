@@ -144,6 +144,35 @@ def test_fused_contrib_chunk_count_invariance():
         np.testing.assert_allclose(o, outs[0], rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.parametrize("focus_axis", [0, 1])
+def test_fused_pair_pallas_matches_numpy(focus_axis, monkeypatch):
+    """The Pallas masked-pair kernel (both orientations from one stored
+    layout) in interpret mode vs direct numpy."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from bayesiandatafusion_jl_tpu.ops.pallas_fused import fused_pair_pallas
+
+    rng = np.random.default_rng(31 + focus_axis)
+    n0, n1, CK, K = 64, 256, 21, 5
+    V8 = np.where(rng.random((n0, n1)) < 0.1,
+                  rng.integers(1, 6, (n0, n1)), 0).astype(np.int8)
+    nc = n1 if focus_axis == 0 else n0
+    YZ = rng.standard_normal((nc, CK)).astype(np.float32)
+    Z = rng.standard_normal((nc, K)).astype(np.float32)
+    PM, BV = fused_pair_pallas(jnp.asarray(V8), jnp.asarray(YZ),
+                               jnp.asarray(Z), focus_axis)
+    M = (V8 != 0).astype(np.float32)
+    W = V8.astype(np.float32)
+    if focus_axis == 1:
+        M, W = M.T, W.T
+    np.testing.assert_allclose(np.asarray(PM), M @ YZ, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(BV), W @ Z, rtol=1e-5, atol=1e-5)
+
+
 def test_device_build_chunked_matches_host(monkeypatch):
     """The chunked device scatter (TPU index-pad workaround) must equal the
     host build bit-for-bit, including OOB-dropped pad entries and the
