@@ -81,3 +81,34 @@ def test_chembl_features_lift_auc_cold_start():
     assert out["macau"]["AUC"] >= 0.72, out["macau"]["AUC"]
     assert out["macau"]["AUC"] - out["bpmf"]["AUC"] >= 0.15
     assert out["macau"]["RMSE"] <= out["bpmf"]["RMSE"] - 0.10
+
+
+def test_parser_handles_real_format_quirks(tmp_path):
+    """Crafted real-format fixtures (VERDICT r2 weak #6): ML-1M/10M '::'
+    with blank lines, ML-20M csv with a header + trailing newline, gappy
+    1-based ids, timestamps ignored, separator inferred from content
+    (not filename)."""
+    dat = tmp_path / "anything.txt"          # filename gives no hint
+    dat.write_text("1::1193::5::978300760\n\n7::661::3.5::978302109\n"
+                   "1::914::3::978301968\n\n")
+    df = load_movielens(path=str(dat))
+    assert df.nnz == 3 and df.shape == (2, 3)     # ids 1,7 / 661,914,1193
+    assert sorted(df.vals.tolist()) == [3.0, 3.5, 5.0]
+
+    csv = tmp_path / "ratings.csv"
+    csv.write_text("userId,movieId,rating,timestamp\n"
+                   "1,31,2.5,1260759144\n"
+                   "9002,1029,3.0,1260759179\n\n")
+    df2 = load_movielens(path=str(csv))
+    assert df2.nnz == 2 and df2.shape == (2, 2)
+
+    udata = tmp_path / "weird u.data"
+    udata.write_text("196\t242\t3\t881250949\n305\t451\t4\t886324817\n")
+    df3 = load_movielens(path=str(udata))
+    assert df3.nnz == 2
+
+    empty = tmp_path / "empty.dat"
+    empty.write_text("header only\n\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_movielens(path=str(empty))
