@@ -8,7 +8,7 @@ dataclass so the compiled sweep is parameterized statically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -123,13 +123,17 @@ class MacauConfig:
     # (see ops/gramian.py)
     accumulation: str = "segment"
     # sharded engine: sample/exchange the local shard in this many chunks so
-    # block b's all-gather overlaps block b+1's Cholesky-sample (SURVEY §7.7)
-    exchange_blocks: int = 1
-    # sharded engine: instances with total degree above this threshold get
-    # their observations ROUND-ROBINED across all devices and their Gramian
-    # psum-reduced (head-entity splitting, SURVEY §7.7 / BASELINE north
-    # star). None = off.
-    head_split_degree: Optional[int] = None
+    # block b's all-gather overlaps block b+1's Cholesky-sample (SURVEY
+    # §7.7).  None = auto (4 blocks when n_dev > 1 and shards are large
+    # enough — parallel.sharded.resolve_exchange_blocks); 1 = off.
+    exchange_blocks: Optional[int] = None
+    # sharded engine: instances with GATHER-PATH degree above this
+    # threshold get their observations ROUND-ROBINED across all devices
+    # and their Gramian psum-reduced (head-entity splitting, SURVEY §7.7
+    # / BASELINE north star).  "auto" = engage when one instance's degree
+    # dominates a device's average gather work
+    # (parallel.sharded.resolve_head_split); None = off; int = explicit.
+    head_split_degree: Union[int, str, None] = "auto"
     row_pad: int = 8  # pad bucket rows to a multiple of this (f32 sublane)
 
     # Fetch per-sweep metrics to host every N sweeps (1 = every sweep,

@@ -451,3 +451,27 @@ def test_sharded_matches_single_macau_dual():
     assert eng.problem.entity_specs[0].solver == "dual"
     assert "dual_Q" in eng.problem.arrays_sh["feat"]["e0"]
     _compare_engines(build, cfg, n_sweeps=3, rtol=1e-8)
+
+
+def test_knob_auto_resolvers():
+    """Auto defaults for the SURVEY §7.7 knobs (VERDICT r2 weak #4)."""
+    from bayesiandatafusion_jl_tpu.parallel.sharded import (
+        resolve_exchange_blocks, resolve_head_split)
+    # exchange: off at mesh=1 or small shards, 4 when overlap pays
+    assert resolve_exchange_blocks(None, 1, 1 << 20) == 1
+    assert resolve_exchange_blocks(None, 8, 100) == 1
+    assert resolve_exchange_blocks(None, 8, 8192) == 4
+    assert resolve_exchange_blocks(2, 1, 10) == 2      # explicit wins
+    # head split: explicit/off passthrough
+    deg = np.full(1000, 100, np.int64)
+    assert resolve_head_split(None, deg, 8) is None
+    assert resolve_head_split(17, deg, 8) == 17
+    # auto: balanced degrees -> off
+    assert resolve_head_split("auto", deg, 8) is None
+    # auto: one instance dominating a device's share -> threshold set
+    deg2 = deg.copy()
+    deg2[0] = 40_000                    # > 0.25 * (140k/8)
+    thr = resolve_head_split("auto", deg2, 8)
+    assert thr is not None and deg2.max() > thr
+    # mesh=1: never split
+    assert resolve_head_split("auto", deg2, 1) is None
