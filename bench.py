@@ -273,24 +273,33 @@ def bench_netflix(gather=False, smoke=False):
     n1, n2, r = (480_189, 17_770, 32) if not smoke else (4_800, 1_700, 32)
     nnz = 100_480_507 if not smoke else 1_000_000
     t0 = time.time()
-    rng = np.random.default_rng(9)
-    key = np.unique(rng.integers(0, n1 * n2, int(nnz * 1.02),
-                                 dtype=np.int64))
-    key = rng.permutation(key)[:nnz] if key.size > nnz else key
-    nnz = key.size
-    i1 = (key // n2).astype(np.int32)
-    i2 = (key % n2).astype(np.int32)
-    del key
-    U = rng.standard_normal((n1, r), dtype=np.float32) / np.sqrt(r)
-    V = rng.standard_normal((n2, r), dtype=np.float32) / np.sqrt(r)
-    score = np.einsum("nk,nk->n", U[i1], V[i2])
-    del U, V
-    score = score * np.sqrt(r) * 0.9 + 0.55 * rng.standard_normal(
-        nnz, dtype=np.float32)
-    vals = np.clip(np.rint(3.6 + 1.1 * score), 1.0, 5.0).astype(np.float64)
-    del score
-    df = bdf.IndexedDF(np.stack([i1, i2], 1), vals, (n1, n2))
-    del i1, i2, vals
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", f"netflix{'_smoke' if smoke else ''}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        df = bdf.IndexedDF(z["idx"], z["vals"], (n1, n2))
+    else:
+        rng = np.random.default_rng(9)
+        key = np.unique(rng.integers(0, n1 * n2, int(nnz * 1.02),
+                                     dtype=np.int64))
+        key = rng.permutation(key)[:nnz] if key.size > nnz else key
+        nnz = key.size
+        i1 = (key // n2).astype(np.int32)
+        i2 = (key % n2).astype(np.int32)
+        del key
+        U = rng.standard_normal((n1, r), dtype=np.float32) / np.sqrt(r)
+        V = rng.standard_normal((n2, r), dtype=np.float32) / np.sqrt(r)
+        score = np.einsum("nk,nk->n", U[i1], V[i2])
+        del U, V
+        score = score * np.sqrt(r) * 0.9 + 0.55 * rng.standard_normal(
+            nnz, dtype=np.float32)
+        vals = np.clip(np.rint(3.6 + 1.1 * score), 1.0,
+                       5.0).astype(np.float32)
+        del score
+        df = bdf.IndexedDF(np.stack([i1, i2], 1), vals, (n1, n2))
+        del i1, i2, vals
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, idx=df.idx, vals=df.vals)
     rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
     rd.assign_to_test(0, 100_000, seed=7)
     print(f"# netflix data gen: {time.time()-t0:.1f}s (nnz={df.nnz})",
