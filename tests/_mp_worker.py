@@ -20,27 +20,40 @@ def _configure():
     jax.config.update("jax_enable_x64", True)
 
 
-def build_problem():
+def build_problem(variant: str = "dense_int8"):
     import numpy as np
 
     import bayesiandatafusion_jl_tpu as bdf
 
     rng = np.random.default_rng(0)
-    n1, n2, k, f = 41, 29, 3, 23
+    n1, n2, k = 41, 29, 3
+    # headsplit_dual uses N < F so the Woodbury dual solver engages
+    f = 60 if variant == "headsplit_dual" else 23
     feat = (rng.random((n1, f)) < 0.25).astype(np.float64)
     U = rng.standard_normal((n1, k))
     V = rng.standard_normal((n2, k))
     R = U @ V.T + 0.1 * rng.standard_normal((n1, n2))
     mask = rng.random((n1, n2)) < 0.5
+    if variant == "headsplit_dual":
+        mask[:, 0] = True              # head partner instance (deg 41)
     df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask], (n1, n2))
     rd = bdf.RelationData.from_matrix(df, feat1=feat)
     rd.assign_to_test(0, 40, seed=3)
     return rd
 
 
-def config():
+def config(variant: str = "dense_int8"):
     from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
 
+    if variant == "headsplit_dual":
+        # VERDICT r2 #5 matrix: head-entity ghost-slot splitting +
+        # block-pipelined exchange + the Woodbury dual beta solver, all
+        # across a REAL process boundary (gather path, so heads engage)
+        return MacauConfig(num_latent=3, burnin=1, psamples=2,
+                           verbose=False, dtype="float64", use_ff=False,
+                           seed=7, dense_gram=False,
+                           head_split_degree=20, exchange_blocks=2,
+                           beta_solver="dual")
     # dense_gram=True: the two-process run also covers sharded device_put
     # of the dense M/W slabs and the dense feature operand; dense_int8
     # covers the int8 slab stores + quantized contraction across processes
@@ -57,6 +70,7 @@ def main():
     import jax
     pid, nproc, port, out = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+    variant = sys.argv[5] if len(sys.argv) > 5 else "dense_int8"
     from bayesiandatafusion_jl_tpu.parallel.mesh import initialize_distributed
     initialize_distributed(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
@@ -69,9 +83,12 @@ def main():
     from bayesiandatafusion_jl_tpu.parallel.sharded import ShardedMacauEngine
     from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
 
-    rd = build_problem()
-    cfg = config()
+    rd = build_problem(variant)
+    cfg = config(variant)
     eng = ShardedMacauEngine(rd, cfg, mesh=data_mesh())
+    if variant == "headsplit_dual":
+        assert any(m.n_head for m in eng.problem.ent_meta), "no heads"
+        assert eng.problem.entity_specs[0].solver == "dual"
     key = jax.random.key(cfg.seed)
     sr, ss = eng.init_state(jax.random.fold_in(key, 0))
     p = eng.problem

@@ -24,7 +24,8 @@ def _free_port():
     return port
 
 
-def test_two_process_matches_single(tmp_path):
+@pytest.mark.parametrize("variant", ["dense_int8", "headsplit_dual"])
+def test_two_process_matches_single(tmp_path, variant):
     port = _free_port()
     out = str(tmp_path / "mp.npz")
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
@@ -33,7 +34,7 @@ def test_two_process_matches_single(tmp_path):
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", str(port), out],
+        [sys.executable, worker, str(pid), "2", str(port), out, variant],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         cwd=repo_root)
         for pid in range(2)]
@@ -56,8 +57,8 @@ def test_two_process_matches_single(tmp_path):
     from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
     from bayesiandatafusion_jl_tpu.utils.rng import sweep_key
     import jax
-    rd = _mp_worker.build_problem()
-    cfg = _mp_worker.config()
+    rd = _mp_worker.build_problem(variant)
+    cfg = _mp_worker.config(variant)
     eng = MacauEngine(rd, cfg)
     key = jax.random.key(cfg.seed)
     st = eng.init_state(jax.random.fold_in(key, 0))
