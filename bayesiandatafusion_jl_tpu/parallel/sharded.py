@@ -544,6 +544,24 @@ class ShardedProblem:
                         "w": jnp.asarray(wv)})
         return out
 
+    def flops_per_sweep(self) -> float:
+        """Approximate matmul work of one sweep (same accounting as
+        models.engine.CompiledProblem.flops_per_sweep; diagnostic only —
+        feeds bench.py's effective-TOPS report).  Dense/fused modes count
+        their PADDED shard extents (that IS the executed work)."""
+        K = self.config.num_latent
+        C = K * (K + 1) // 2
+        f = 0.0
+        for ri, rs in enumerate(self.rel_specs):
+            total_pad = float(np.prod(
+                [self.ent_meta[e].n_pad for e in rs.entity_ids]))
+            for mode in range(rs.arity):
+                if (ri, mode) in self.dense_plans:
+                    f += 2.0 * total_pad * (C + K)
+                else:
+                    f += 2.0 * rs.nnz * (K * K + K)
+        return f
+
     def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):
         """Block-partition a tuple list across devices (sequential order)."""
         n = idx.shape[0]
