@@ -702,15 +702,27 @@ class MacauEngine(GibbsDriverMixin):
             if (fuse and K <= 96 and dense_contribs and not contribs
                     and cfg.accumulation != "planned"):
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
-                # kernel-layout accumulation: Pp [C, N], b [K, N] straight
-                # out of the flipped einsums (dense_gram transposed=True) —
-                # no [N, C] -> [C, N] pre-kernel transpose pass.  Fused
-                # contributions keep the natural [N, C] layout instead:
-                # XLA runs the flipped MASKED dot 2.5x slower (r3 probe
-                # 236 vs 95 ms at Netflix scale), which dwarfs the saved
-                # transpose.
-                trans = not any(p.kind == "fused"
-                                for *_r, p in dense_contribs)
+                # Packed-layout orientation is a PER-MODE preference
+                # (r3 fori-loop microbench, ML-10M):
+                #   mode 0 (contraction along the stored minor axis):
+                #     flipped [C, N] output 4.66 ms vs natural 8.26
+                #   mode 1 (contraction along the stored MAJOR axis):
+                #     natural [N, C] output 5.67 ms vs flipped 7.53
+                # and fused contributions run the masked dot 2.5x slower
+                # flipped.  All of one entity's contributions must share
+                # the accumulator layout, so choose by cell-weighted
+                # majority; the saved/paid pre-sampler transpose is tiny
+                # by comparison ([N, C] once vs the contraction that
+                # touches every stored cell).
+                vote = 0.0
+                for _a, _p, ri_, mode_, pl_ in dense_contribs:
+                    cells = float(pl_.n_focus) * float(
+                        np.prod(pl_.partner_counts))
+                    prefers_trans = (pl_.kind != "fused"
+                                     and (len(pl_.partner_counts) > 1
+                                          or mode_ == 0))
+                    vote += cells if prefers_trans else -cells
+                trans = vote > 0.0
                 b_acc = (jnp.einsum("nk,kj->jn", prior_mean, Lambda)
                          if trans else
                          jnp.einsum("nk,kj->nj", prior_mean, Lambda))
