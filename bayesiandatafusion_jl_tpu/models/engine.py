@@ -140,11 +140,29 @@ class CompiledProblem:
         # whole array (7.96 GB at Netflix scale — r3 OOM); the kernel
         # needs block-multiple shapes, so pad the store (cells stay 0)
         self.fused_pallas = use_pallas_chol(config)
+        # fused s8 MXU variant (2x the bf16 kernel rate, r3 probe: 163 vs
+        # 109 TOP/s at Netflix scale): opt-in via dense_int8 like the pair
+        # path, gated on int32-overflow eligibility.  Decided from the
+        # encoding + true shape only (fused_int8_ok pads internally) so
+        # the single-device and sharded engines always agree.
+        self.fused_i8: Dict[int, bool] = {}
         for ri, _enc in self.fused_rels.items():
             rel = rd.relations[ri]
+            self.fused_i8[ri] = bool(
+                config.dense_int8
+                and dg.fused_int8_ok(
+                    dg.fused_code_bound(rel.data.vals, *_enc),
+                    shapes[ri]))
             arrays["dense"][f"r{ri}"] = {"V8": dg.build_fused_values_device(
                 rel.data.idx, rel.data.vals, shapes[ri], *_enc,
                 pad_to=(1024, 512) if self.fused_pallas else None)}
+            if self.fused_i8[ri]:
+                # static per-mode observation counts for the int8 PD ridge
+                for mode in range(2):
+                    deg = np.bincount(rel.data.idx[:, mode],
+                                      minlength=shapes[ri][mode])
+                    arrays["dense"][f"r{ri}"][f"deg_m{mode}"] = \
+                        jnp.asarray(deg, jnp.float32)
             for mode in range(2):
                 self.dense_plans[(ri, mode)] = dg.DenseModePlan(
                     "fused", shapes[ri][mode],
@@ -831,12 +849,20 @@ class MacauEngine(GibbsDriverMixin):
         if plan.kind == "fused":
             s, m = self.problem.fused_rels[ri]
             rs = self.problem.rel_specs[ri]
+            rdims = tuple(self.problem.entity_specs[e].n
+                          for e in rs.entity_ids)
+            if self.problem.fused_i8.get(ri):
+                from ..ops.dense_gram import fused_gram_contrib_i8
+                return fused_gram_contrib_i8(
+                    st["V8"], partners[0], mode, dtype, s, m,
+                    rs.mean_value, packed=packed, transposed=transposed,
+                    dims=rdims, use_pallas=self.problem.fused_pallas,
+                    ridge_deg=st.get(f"deg_m{mode}"))
             from ..ops.dense_gram import fused_gram_contrib
             return fused_gram_contrib(
                 st["V8"], partners[0], mode, dtype, mdt, s, m,
                 rs.mean_value, packed=packed, transposed=transposed,
-                dims=tuple(self.problem.entity_specs[e].n
-                           for e in rs.entity_ids),
+                dims=rdims,
                 use_pallas=self.problem.fused_pallas)
         dims = list(plan.partner_counts)
         dims.insert(mode, plan.n_focus)

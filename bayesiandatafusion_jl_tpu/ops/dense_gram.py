@@ -625,6 +625,179 @@ def fused_gram_contrib(
     return P.reshape(n_focus, K, K), b
 
 
+def fused_code_bound(vals: np.ndarray, s: float, m: int) -> int:
+    """max |e| over the stored int8 codes of :func:`fused_pair_encode`."""
+    if len(vals) == 0:
+        return 1
+    e = np.rint(np.asarray(vals, np.float64) / s) - m
+    return int(np.max(np.abs(e)))
+
+
+def fused_int8_ok(emax: int, shape: Sequence[int]) -> bool:
+    """int32-overflow eligibility for the fused s8 MXU path.
+
+    Both dots accumulate in exact int32; the worst-case magnitudes are
+    ``127 * n_contract`` (mask x quantized partner) and
+    ``emax * 127 * n_contract`` (stored codes x quantized partner), where
+    n_contract ranges over BOTH axes (each mode contracts one).  ``shape``
+    is the TRUE relation shape; an internal slack covers any engine
+    padding (kernel blocks <= 1024, mesh round-up) so the single-device
+    and sharded engines always agree regardless of layout (the
+    engine-parity invariant).  Pad rows/cells contribute exact zeros, so
+    the slack only needs to cover their count, not their values."""
+    n_c = max(int(d) for d in shape) + 8192
+    return 127.0 * max(emax, 1) * n_c < 2.0 ** 31 * 0.95
+
+
+def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None):
+    """Per-sweep int8 quantization of the fused path's partner operands.
+
+    Mirrors the pair path's scheme (:func:`_quantize_cols`: per-OUTPUT-
+    column symmetric scales, exact int32 contraction, one broadcast
+    dequant multiply).  Returns ``(YZ8 [N, C+K] int8, Z8 [N, K] int8,
+    s_yz [C+K] f32, s_z [K] f32)`` where the first C columns are the
+    packed-triangle products and the trailing K are the raw factors
+    (``Z8`` is that same quantized block, re-issued for the value dot).
+
+    Column-max scales are permutation-invariant over the row set, so the
+    sharded engine's permuted-layout tables quantize to row-permuted but
+    otherwise BITWISE-identical operands (``n_valid`` excludes pad rows,
+    whose latents are prior draws)."""
+    K = partner.shape[-1]
+    iu, ju, _ = _tri_maps(K)
+    Uf = partner.astype(jnp.float32)
+    Y8, sY = _quantize_cols(Uf[:, iu] * Uf[:, ju], n_valid)
+    U8, sU = _quantize_cols(Uf, n_valid)
+    return (jnp.concatenate([Y8, U8], axis=1), U8,
+            jnp.concatenate([sY, sU]), sU)
+
+
+def fused_pair_contract_i8(V8: jax.Array, YZ8: jax.Array, Z8: jax.Array,
+                           focus_axis: int, use_pallas: bool = False,
+                           row_chunks: int = 32):
+    """Raw fused contraction on int8 operands: EXACT int32
+    ``PM = (V8 != 0) @ YZ8`` and ``BV = V8 @ Z8`` in the natural
+    [n_focus_padded, .] layout (transposition happens in the f32 finish —
+    int32 sums must stay raw so the sharded engine can psum them EXACTLY
+    before dequantizing; integer addition is associative, so the chunked
+    fallback, the Pallas kernel, and any cross-device partial-sum order
+    all produce bitwise-identical totals)."""
+    if YZ8.shape[0] != V8.shape[1 - focus_axis]:
+        padn = V8.shape[1 - focus_axis] - YZ8.shape[0]
+        YZ8 = jnp.concatenate(
+            [YZ8, jnp.zeros((padn, YZ8.shape[1]), jnp.int8)])
+        Z8 = jnp.concatenate([Z8, jnp.zeros((padn, Z8.shape[1]), jnp.int8)])
+    if use_pallas:
+        from .pallas_fused import fused_pair_pallas
+        return fused_pair_pallas(V8, YZ8, Z8, focus_axis)
+    n0, n1 = V8.shape
+    ck, k = YZ8.shape[1], Z8.shape[1]
+    chunks = max(1, min(row_chunks, n0))
+    cn = -(-n0 // chunks)
+    full = n0 // cn
+    rem = n0 - full * cn
+    if focus_axis == 0:
+        def step(start, size, acc):
+            pm_acc, bv_acc = acc
+            wb = jax.lax.dynamic_slice_in_dim(V8, start, size, 0)
+            m8 = (wb != 0).astype(jnp.int8)
+            pm = jnp.dot(m8, YZ8, preferred_element_type=jnp.int32)
+            bv = jnp.dot(wb, Z8, preferred_element_type=jnp.int32)
+            return (jax.lax.dynamic_update_slice_in_dim(pm_acc, pm,
+                                                        start, 0),
+                    jax.lax.dynamic_update_slice_in_dim(bv_acc, bv,
+                                                        start, 0))
+
+        acc = (jnp.zeros((n0, ck), jnp.int32),
+               jnp.zeros((n0, k), jnp.int32))
+    else:
+        dn = (((0,), (0,)), ((), ()))
+
+        def step(start, size, acc):
+            pm_acc, bv_acc = acc
+            wb = jax.lax.dynamic_slice_in_dim(V8, start, size, 0)
+            yzb = jax.lax.dynamic_slice_in_dim(YZ8, start, size, 0)
+            zb = jax.lax.dynamic_slice_in_dim(Z8, start, size, 0)
+            m8 = (wb != 0).astype(jnp.int8)
+            pm = jax.lax.dot_general(m8, yzb, dn,
+                                     preferred_element_type=jnp.int32)
+            bv = jax.lax.dot_general(wb, zb, dn,
+                                     preferred_element_type=jnp.int32)
+            return (pm_acc + pm, bv_acc + bv)
+
+        acc = (jnp.zeros((n1, ck), jnp.int32),
+               jnp.zeros((n1, k), jnp.int32))
+    if full:
+        acc = jax.lax.fori_loop(
+            0, full, lambda i, a: step(i * cn, cn, a), acc)
+    if rem:
+        acc = step(full * cn, rem, acc)
+    return acc
+
+
+def fused_finish_i8(PM: jax.Array, BV: jax.Array, s_yz: jax.Array,
+                    s_z: jax.Array, K: int, out_dtype,
+                    scale: float, shift: int, mean: float,
+                    packed: bool = False, transposed: bool = False,
+                    n_focus: Optional[int] = None,
+                    ridge_deg: Optional[jax.Array] = None):
+    """Dequantize + center the raw int32 sums into (P, b).
+
+    Applies the fused b identity ``b = s*(V8@Z) + (s*shift - mean)*(M@Z)``
+    on the dequantized blocks, and the same PD safety ridge as the pair
+    path (ops/dense_gram.dense_gram_contrib: ~1.7 sigma of per-row
+    spectral quantization noise on the diagonal — load-bearing for long
+    chains, r2s5 forensics)."""
+    assert not transposed or packed, "transposed requires packed=True"
+    iu, ju, expand = _tri_maps(K)
+    C = PM.shape[1] - K
+    if n_focus is not None and PM.shape[0] != n_focus:
+        PM, BV = PM[:n_focus], BV[:n_focus]
+    nf = PM.shape[0]
+    PMf = PM.astype(out_dtype) * s_yz.astype(out_dtype)
+    BVf = BV.astype(out_dtype) * s_z.astype(out_dtype)
+    c1 = jnp.asarray(scale, out_dtype)
+    c0 = jnp.asarray(scale * shift - mean, out_dtype)
+    Pt = PMf[:, :C]
+    b = c1 * BVf + c0 * PMf[:, C:]
+    if ridge_deg is not None:
+        dc = jnp.asarray(np.nonzero(iu == ju)[0])
+        step = jnp.mean(s_yz[:C]) * (0.5 * float(np.sqrt(K)))
+        rdeg = jnp.sqrt(ridge_deg.astype(jnp.float32)[:nf])
+        Pt = Pt.at[:, dc].add((rdeg[:, None] * step).astype(out_dtype))
+    if packed and transposed:
+        return Pt.T, b.T
+    if packed:
+        return Pt, b
+    P = jnp.take(Pt, jnp.asarray(expand), axis=1)
+    return P.reshape(nf, K, K), b
+
+
+def fused_gram_contrib_i8(
+    V8: jax.Array, partner: jax.Array, focus_axis: int, out_dtype,
+    scale: float, shift: int, mean: float,
+    packed: bool = False, transposed: bool = False,
+    dims: Optional[Tuple[int, int]] = None,
+    use_pallas: bool = False,
+    n_valid: Optional[int] = None,
+    ridge_deg: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """s8 MXU variant of :func:`fused_gram_contrib` (same output
+    conventions): per-sweep quantized partner operands, exact int32
+    contraction at 2x the bf16 MXU rate, per-column dequantization.
+    Eligibility (:func:`fused_int8_ok`) is the caller's contract."""
+    rdims = (tuple(int(d) for d in dims) if dims is not None
+             else V8.shape)
+    YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid)
+    PM, BV = fused_pair_contract_i8(V8, YZ8, Z8, focus_axis,
+                                    use_pallas=use_pallas)
+    return fused_finish_i8(PM, BV, s_yz, s_z, partner.shape[-1],
+                           out_dtype, scale, shift, mean, packed=packed,
+                           transposed=transposed,
+                           n_focus=rdims[focus_axis],
+                           ridge_deg=ridge_deg)
+
+
 def int8_pair_ok(idx: np.ndarray, shape: Sequence[int]) -> bool:
     """Layout-INVARIANT int8 eligibility for one relation.
 

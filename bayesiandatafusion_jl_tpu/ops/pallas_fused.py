@@ -42,6 +42,50 @@ def _pick_block(n: int, pref: int, floor: int) -> int:
     return b if n % b == 0 else 0
 
 
+def _kern_focus_rows_i8(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
+    """int8 orientation of :func:`_kern_focus_rows`: the mask is an exact
+    0/1 int8 operand and ``yz``/``z`` are per-column-quantized int8, so
+    both dots run at the MXU s8 rate and accumulate in EXACT int32 —
+    per-column dequantization happens outside the kernel (one broadcast
+    multiply), mirroring ops/dense_gram._quantize_cols semantics."""
+    j = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    pm = jnp.dot(m, yz_ref[...], preferred_element_type=jnp.int32)
+    bv = jnp.dot(w8, z_ref[...], preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(j > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
+def _kern_focus_cols_i8(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
+    i = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    dn = (((0,), (0,)), ((), ()))
+    pm = jax.lax.dot_general(m, yz_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+    bv = jax.lax.dot_general(w8, z_ref[...], dn,
+                             preferred_element_type=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(i > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
 def _kern_focus_rows(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
     j = pl.program_id(1)
     w8 = w_ref[...]
@@ -86,23 +130,35 @@ def _kern_focus_cols(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
 @functools.partial(jax.jit, static_argnums=(3,))
 def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
                       focus_axis: int):
-    """(PM [n_focus, CK], BV [n_focus, K]) f32 from the stored int8 array.
+    """(PM [n_focus, CK], BV [n_focus, K]) from the stored int8 array.
 
     ``YZ [n_contract, C+K]`` and ``Z [n_contract, K]`` are the partner
-    tables (any float dtype — the mask/value operands are cast to match),
-    where the contract axis is ``V8.shape[1 - focus_axis]``.  All shapes
-    must be divisible by the adaptive block sizes (pad with zeros).
+    tables, where the contract axis is ``V8.shape[1 - focus_axis]``.  All
+    shapes must be divisible by the adaptive block sizes (pad with zeros).
+
+    Two arithmetic modes, selected by the partner dtype:
+
+    - float YZ/Z: mask/value operands cast to the partner dtype, MXU dots
+      accumulate f32 (bf16 rate).
+    - int8 YZ/Z (per-column-quantized, ops/dense_gram._quantize_cols):
+      s8 x s8 -> EXACT int32 dots at the MXU s8 rate (2x bf16); outputs
+      are int32 and the caller dequantizes per output column.  Overflow
+      eligibility (127 * max|code| * n_contract < 2^31) is the caller's
+      contract (ops/dense_gram plans it from the stored encoding).
     """
     n0, n1 = V8.shape
     ck = YZ.shape[1]
     k = Z.shape[1]
     op_dtype = YZ.dtype
+    int8 = op_dtype == jnp.int8
+    out_dt = jnp.int32 if int8 else jnp.float32
     if focus_axis == 0:
         bf = _pick_block(n0, 1024, 8)
         bc = _pick_block(n1, 512, 128)
         assert bf and bc, (V8.shape, "not blockable")
         grid = (n0 // bf, n1 // bc)
-        kern = functools.partial(_kern_focus_rows, op_dtype=op_dtype)
+        kern = (_kern_focus_rows_i8 if int8 else
+                functools.partial(_kern_focus_rows, op_dtype=op_dtype))
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -120,8 +176,8 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
                 pl.BlockSpec((bf, k), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_shape=[jax.ShapeDtypeStruct((n0, ck), jnp.float32),
-                       jax.ShapeDtypeStruct((n0, k), jnp.float32)],
+            out_shape=[jax.ShapeDtypeStruct((n0, ck), out_dt),
+                       jax.ShapeDtypeStruct((n0, k), out_dt)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
         )(V8, YZ, Z)
@@ -129,7 +185,8 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     bf = _pick_block(n1, 512, 128)       # focus columns
     assert bf and bc, (V8.shape, "not blockable")
     grid = (n1 // bf, n0 // bc)
-    kern = functools.partial(_kern_focus_cols, op_dtype=op_dtype)
+    kern = (_kern_focus_cols_i8 if int8 else
+            functools.partial(_kern_focus_cols, op_dtype=op_dtype))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -147,8 +204,8 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
             pl.BlockSpec((bf, k), lambda jf, i: (jf, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((n1, ck), jnp.float32),
-                   jax.ShapeDtypeStruct((n1, k), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n1, ck), out_dt),
+                   jax.ShapeDtypeStruct((n1, k), out_dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(V8, YZ, Z)

@@ -157,6 +157,7 @@ class ShardedProblem:
                              or rel.data.nnz >= dg._AUTO_MIN_NNZ)):
                     fused_enc[ri] = dg.fused_pair_encode(
                         rel.data.idx, rel.data.vals, shapes[ri])
+        self.fused_i8: Dict[int, bool] = {}
         self.fused_rels, fused_spent = dg.plan_fused_rels(
             shapes, [rel.data.nnz for rel in rd.relations],
             config.num_latent, config.dense_gram, config.dense_fused,
@@ -246,6 +247,22 @@ class ShardedProblem:
                 arrays_sh["dense"][f"r{ri}"] = {"V8": jnp.asarray(
                     V.reshape(n_dev, meta0.n_loc, dims_pad[1]))}
                 del V
+                # fused s8 MXU variant: the SAME layout-invariant decision
+                # as the single-device engine (engine-parity invariant)
+                self.fused_i8[ri] = bool(
+                    config.dense_int8
+                    and dg.fused_int8_ok(
+                        dg.fused_code_bound(rel.data.vals, s_, m_),
+                        [e.count for e in rel.entities]))
+                if self.fused_i8[ri]:
+                    # static focus observation counts (int8 PD ridge) in
+                    # the permuted+padded shard layout: mode 0 tiles by
+                    # the row shard, mode 1 by the psum_scatter tile
+                    for mode in range(rel.arity):
+                        deg = np.bincount(idx_p[:, mode],
+                                          minlength=dims_pad[mode])
+                        arrays_sh["dense"][f"r{ri}"][f"deg_m{mode}"] = \
+                            jnp.asarray(deg.reshape(n_dev, -1), jnp.float32)
                 for mode in range(rel.arity):
                     self.dense_plans[(ri, mode)] = dg.DenseModePlan(
                         "fused", dims_pad[mode],
@@ -968,19 +985,56 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             the local row slab (focus rows — no collectives); mode 1
             contracts the SHARDED axis against the owner's partner-row
             slice and psum_scatters the partial sums straight into each
-            device's focus slice (n_pad is a multiple of n_dev)."""
-            from ..ops.dense_gram import fused_gram_contrib
+            device's focus slice (n_pad is a multiple of n_dev).
+
+            The s8 variant (problem.fused_i8) quantizes the FULL partner
+            table (column-max scales over the valid prefix — permutation-
+            invariant, so bitwise equal to the single-device engine's),
+            contracts in exact int32, and for mode 1 psums the RAW int32
+            partials before dequantizing — integer addition is
+            associative, so the cross-device total equals the plain
+            engine's single dot bit for bit."""
+            from ..ops import dense_gram as dgx
             rs = problem.rel_specs[ri]
             s_, m_ = problem.fused_rels[ri]
-            V8 = loc(arrays_sh["dense"])[f"r{ri}"]["V8"]
+            dsl = loc(arrays_sh["dense"])[f"r{ri}"]
+            V8 = dsl["V8"]
+            i8 = problem.fused_i8.get(ri, False)
             if mode == 0:
-                return fused_gram_contrib(
+                if i8:
+                    nv = problem.ent_meta[rs.entity_ids[1]].n
+                    YZ8, Z8, s_yz, s_z = dgx.fused_quantize(partners[0],
+                                                            nv)
+                    PM, BV = dgx.fused_pair_contract_i8(V8, YZ8, Z8, 0)
+                    return dgx.fused_finish_i8(
+                        PM, BV, s_yz, s_z, K, dtype, s_, m_,
+                        rs.mean_value, packed=packed,
+                        transposed=transposed, ridge_deg=dsl.get("deg_m0"))
+                return dgx.fused_gram_contrib(
                     V8, partners[0], 0, dtype, mdt, s_, m_, rs.mean_value,
                     packed=packed, transposed=transposed)
             meta0 = problem.ent_meta[rs.entity_ids[0]]
+            if i8:
+                YZ8, Z8, s_yz, s_z = dgx.fused_quantize(partners[0],
+                                                        meta0.n)
+                YZ8l = jax.lax.dynamic_slice_in_dim(
+                    YZ8, me * meta0.n_loc, meta0.n_loc, 0)
+                Z8l = jax.lax.dynamic_slice_in_dim(
+                    Z8, me * meta0.n_loc, meta0.n_loc, 0)
+                PM_p, BV_p = dgx.fused_pair_contract_i8(V8, YZ8l, Z8l, 1)
+                PM_d = jax.lax.psum_scatter(PM_p, AXIS,
+                                            scatter_dimension=0,
+                                            tiled=True)
+                BV_d = jax.lax.psum_scatter(BV_p, AXIS,
+                                            scatter_dimension=0,
+                                            tiled=True)
+                return dgx.fused_finish_i8(
+                    PM_d, BV_d, s_yz, s_z, K, dtype, s_, m_,
+                    rs.mean_value, packed=packed, transposed=transposed,
+                    ridge_deg=dsl.get("deg_m1"))
             U0_loc = jax.lax.dynamic_slice_in_dim(
                 partners[0], me * meta0.n_loc, meta0.n_loc, 0)
-            P_part, b_part = fused_gram_contrib(
+            P_part, b_part = dgx.fused_gram_contrib(
                 V8, U0_loc, 1, dtype, mdt, s_, m_, rs.mean_value,
                 packed=packed, transposed=transposed)
             sd = 1 if transposed else 0

@@ -84,10 +84,16 @@ class MacauConfig:
     # grid (ratings, binary labels) and whose M/W pair exceeds the HBM
     # budget, store ONE int8 value matrix and derive the observation mask
     # on the fly inside the chunked MXU contraction — half the pair's
-    # footprint, exact values, no per-sweep quantization.  None = auto
-    # (engage exactly when the pair path cannot fit but the single array
-    # can — the Netflix-shaped sparse regime), False = never, True =
-    # wherever encodable (test/ablation knob).
+    # footprint, exact values.  None = auto (engage exactly when the pair
+    # path cannot fit but the single array can — the Netflix-shaped
+    # sparse regime), False = never, True = wherever encodable
+    # (test/ablation knob).  With dense_int8=True the fused contraction
+    # additionally quantizes the per-sweep partner operands to int8
+    # (fused_gram_contrib_i8: exact int32 dots at the s8 MXU rate — 163
+    # vs 109 TOP/s at Netflix scale, r3 probe — same per-column-scale
+    # scheme and PD safety ridge as the pair path); without it the
+    # partner operands stay in gram_dtype and the path is quantization-
+    # free.
     dense_fused: Optional[bool] = None
 
     # --- beta solver (SURVEY §4.4) ---

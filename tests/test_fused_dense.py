@@ -190,6 +190,118 @@ def test_device_build_chunked_matches_host(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# fused s8 MXU variant (fused_gram_contrib_i8 + contract/finish split)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("focus_axis", [0, 1])
+def test_fused_i8_contrib_close_to_exact(focus_axis):
+    """The quantized path must track the exact fused contraction within
+    the per-column quantization step (|Y| <= 127 steps per column), and
+    its packed/transposed output conventions must be self-consistent."""
+    rng = np.random.default_rng(51 + focus_axis)
+    n0, n1, K = 37, 23, 4
+    idx = _coo(rng, n0, n1, 300)
+    vals = rng.integers(1, 6, 300).astype(np.float64)
+    mean = float(vals.mean())
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    assert dg.fused_int8_ok(dg.fused_code_bound(vals, s, m), (n0, n1))
+    V8 = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    n_partner = n1 if focus_axis == 0 else n0
+    U = rng.standard_normal((n_partner, K))
+    P, b = dg.fused_gram_contrib(
+        jnp.asarray(V8), jnp.asarray(U), focus_axis,
+        jnp.float64, jnp.float64, s, m, mean)
+    P8, b8 = dg.fused_gram_contrib_i8(
+        jnp.asarray(V8), jnp.asarray(U), focus_axis,
+        jnp.float64, s, m, mean)
+    # quantization error ~ deg * step * |y|; 2% relative on this scale
+    scale = float(np.max(np.abs(np.asarray(P))))
+    np.testing.assert_allclose(np.asarray(P8), np.asarray(P),
+                               atol=0.02 * scale)
+    bs = float(np.max(np.abs(np.asarray(b))))
+    np.testing.assert_allclose(np.asarray(b8), np.asarray(b),
+                               atol=0.02 * bs)
+    Pp, bp = dg.fused_gram_contrib_i8(
+        jnp.asarray(V8), jnp.asarray(U), focus_axis,
+        jnp.float64, s, m, mean, packed=True)
+    Pt, bt = dg.fused_gram_contrib_i8(
+        jnp.asarray(V8), jnp.asarray(U), focus_axis,
+        jnp.float64, s, m, mean, packed=True, transposed=True)
+    np.testing.assert_array_equal(np.asarray(Pp).T, np.asarray(Pt))
+    np.testing.assert_array_equal(np.asarray(bp).T, np.asarray(bt))
+
+
+@pytest.mark.parametrize("focus_axis", [0, 1])
+def test_fused_i8_pallas_bitwise_equals_fallback(focus_axis, monkeypatch):
+    """int32 sums are exact whatever the accumulation order: the Pallas
+    s8 kernel (interpret mode) and the chunked XLA fallback must agree
+    BIT FOR BIT — the property the sharded engine's raw-int32 psum relies
+    on for cross-engine parity."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    rng = np.random.default_rng(61 + focus_axis)
+    n0, n1, K = 64, 256, 5
+    V8 = np.where(rng.random((n0, n1)) < 0.15,
+                  rng.integers(1, 6, (n0, n1)), 0).astype(np.int8)
+    nc = n1 if focus_axis == 0 else n0
+    C = K * (K + 1) // 2
+    YZ8 = rng.integers(-127, 128, (nc, C + K)).astype(np.int8)
+    Z8 = rng.integers(-127, 128, (nc, K)).astype(np.int8)
+    outs = []
+    for use_pallas in (True, False):
+        PM, BV = dg.fused_pair_contract_i8(
+            jnp.asarray(V8), jnp.asarray(YZ8), jnp.asarray(Z8),
+            focus_axis, use_pallas=use_pallas, row_chunks=7)
+        assert PM.dtype == jnp.int32 and BV.dtype == jnp.int32
+        outs.append((np.asarray(PM), np.asarray(BV)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    # and both equal the direct integer reference
+    M = (V8 != 0).astype(np.int64)
+    W = V8.astype(np.int64)
+    if focus_axis == 1:
+        M, W = M.T, W.T
+    np.testing.assert_array_equal(outs[0][0], M @ YZ8.astype(np.int64))
+    np.testing.assert_array_equal(outs[0][1], W @ Z8.astype(np.int64))
+
+
+def test_engine_fused_i8_tracks_exact():
+    """Engine-level: dense_int8 + fused relation engages the s8 variant
+    (problem.fused_i8) and its short-chain RMSE trajectory tracks the
+    exact fused path."""
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+
+    rng = np.random.default_rng(71)
+    n1, n2, r = 120, 90, 4
+    U = rng.standard_normal((n1, r)) / np.sqrt(r)
+    V = rng.standard_normal((n2, r)) / np.sqrt(r)
+    mask = rng.random((n1, n2)) < 0.35
+    idx = np.stack(np.nonzero(mask), 1)
+    score = np.einsum("nk,nk->n", U[idx[:, 0]], V[idx[:, 1]]) * np.sqrt(r)
+    vals = np.clip(np.rint(3.0 + score), 1.0, 5.0)
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+    rmses = {}
+    for int8 in (False, True):
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 400, seed=7)
+        cfg = MacauConfig(num_latent=4, burnin=10, psamples=0,
+                          verbose=False, dtype="float32",
+                          dense_gram=True, dense_fused=True,
+                          dense_int8=int8, seed=42,
+                          sweeps_per_dispatch=10)
+        eng = MacauEngine(rd, cfg)
+        assert eng.problem.fused_rels
+        assert eng.problem.fused_i8.get(0, False) == int8
+        out = eng.benchmark(10, repeats=1)
+        rmses[int8] = float(out["metrics"]["r0.rmse_avg"])
+    assert abs(rmses[True] - rmses[False]) < 0.03, rmses
+
+
+# ---------------------------------------------------------------------------
 # engine-level: fused plan engages and stays oracle-equivalent
 # ---------------------------------------------------------------------------
 

@@ -352,6 +352,37 @@ def test_sharded_fused_matches_single():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_fused_int8_matches_single():
+    """Fused s8 MXU variant on both engines: the partner table is
+    quantized against column-max scales over the valid prefix
+    (permutation-invariant), the contraction accumulates in exact int32,
+    and mode 1 psums the RAW int32 partials before dequantizing — so the
+    8-device factors equal the single-device int8-fused run at 1e-8."""
+    rng = np.random.default_rng(41)
+    n1, n2 = 53, 37
+    mask = rng.random((n1, n2)) < 0.5
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(np.arange(1.0, 6.0), idx.shape[0])
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, dense_fused=True,
+                      dense_int8=True, seed=9, clamp=(1.0, 5.0))
+    eng8 = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert eng8.problem.fused_i8.get(0), "fused s8 variant did not engage"
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    assert MacauEngine(build(), cfg).problem.fused_i8.get(0)
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_sharded_fused_with_head_split():
     """Fused modes ignore head splitting (row-balanced MXU work); the
     ghost-slot machinery must stay structurally idle and parity hold."""
