@@ -42,6 +42,30 @@ def _pick_block(n: int, pref: int, floor: int) -> int:
     return b if n % b == 0 else 0
 
 
+_VMEM_BUDGET = 12_000_000  # bytes; c=3584 at Netflix scale (14 MB) OOMs
+
+
+def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
+                         granule: int) -> int:
+    """Largest ``granule``-multiple divisor of ``n_contract`` (<= 4096)
+    whose per-step VMEM footprint — double-buffered int8 input blocks
+    plus the resident int32 output tile — fits the budget.
+
+    The contract block sets how often the [bf, ck+k] int32 output tile
+    pays a VPU read-modify-write accumulate: ~560 VPU cycles against
+    ~2.3 dot-cycles per contracted element at CK=592, so bc=512 costs
+    ~24% and bc=2560 ~5%.  Netflix-scale probe (r3s3, n1=17920):
+    bc=512 -> 50.3 ms / 203 TOP/s, bc=2560 -> 39.7 ms / 257 TOP/s."""
+    best = 0
+    for d in range(granule, min(n_contract, 4096) + 1, granule):
+        if n_contract % d:
+            continue
+        vmem = 2 * (bf * d + d * (ck + k)) + 4 * bf * (ck + k)
+        if vmem <= _VMEM_BUDGET:
+            best = d
+    return best
+
+
 def _kern_focus_rows_i8(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
     """int8 orientation of :func:`_kern_focus_rows`: the mask is an exact
     0/1 int8 operand and ``yz``/``z`` are per-column-quantized int8, so
@@ -127,14 +151,23 @@ def _kern_focus_cols(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
         bv_ref[...] = bv_ref[...] + bv
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
-                      focus_axis: int):
+                      focus_axis: int, pref_f: int = 1024,
+                      pref_c: int | None = None):
     """(PM [n_focus, CK], BV [n_focus, K]) from the stored int8 array.
 
     ``YZ [n_contract, C+K]`` and ``Z [n_contract, K]`` are the partner
     tables, where the contract axis is ``V8.shape[1 - focus_axis]``.  All
     shapes must be divisible by the adaptive block sizes (pad with zeros).
+
+    ``pref_f`` is the preferred focus block (halved until it divides the
+    shape; default 1024).  It amortizes partner-table re-reads in the
+    focus-cols orientation — bf=128 made mode 1 bandwidth-bound at
+    Netflix scale (~48 GB/call vs 18 GB at bf=512).  ``pref_c`` None
+    (default) picks the contract block by divisor search under the VMEM
+    budget (:func:`_auto_contract_block` — the dominant tuning axis); an
+    explicit value is halved until it divides, as for ``pref_f``.
 
     Two arithmetic modes, selected by the partner dtype:
 
@@ -153,8 +186,11 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     int8 = op_dtype == jnp.int8
     out_dt = jnp.int32 if int8 else jnp.float32
     if focus_axis == 0:
-        bf = _pick_block(n0, 1024, 8)
-        bc = _pick_block(n1, 512, 128)
+        bf = _pick_block(n0, pref_f, 8)
+        bc = (_auto_contract_block(n1, bf, ck, k, 128) if pref_c is None
+              else _pick_block(n1, pref_c, 128))
+        if not bc:
+            bc = _pick_block(n1, 512, 128)
         assert bf and bc, (V8.shape, "not blockable")
         grid = (n0 // bf, n1 // bc)
         kern = (_kern_focus_rows_i8 if int8 else
@@ -181,8 +217,12 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
         )(V8, YZ, Z)
-    bc = _pick_block(n0, 1024, 8)        # contraction rows
-    bf = _pick_block(n1, 512, 128)       # focus columns
+    bf = _pick_block(n1, min(pref_f, 512), 128)   # focus columns: bf=512
+    # measured best (bigger strided column blocks alias HBM channels)
+    bc = (_auto_contract_block(n0, bf, ck, k, 512) if pref_c is None
+          else _pick_block(n0, pref_c, 8))        # contraction rows
+    if not bc:
+        bc = _pick_block(n0, 1024, 8)
     assert bf and bc, (V8.shape, "not blockable")
     grid = (n1 // bf, n0 // bc)
     kern = (_kern_focus_cols_i8 if int8 else
