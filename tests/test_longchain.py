@@ -36,6 +36,7 @@ def _run_chain(dtype, dense, sweeps=200, **kw):
     return res, np.asarray(traj)
 
 
+@pytest.mark.slow
 def test_int8_chain_tracks_f64_gather_trajectory():
     """200 sweeps of the production int8 MXU path (exact-int32 dots,
     quantized tables, PD safety ridge) vs 200 sweeps of the f64 gather
