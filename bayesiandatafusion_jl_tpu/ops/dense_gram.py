@@ -353,45 +353,115 @@ def fused_pair_encode(idx: np.ndarray, vals: np.ndarray,
     Netflix 1..5, binary 0/1, pIC50 on a reporting grid); continuous
     values or duplicate (i,j) observations return None.
 
+    The STRICT form: every observation must be representable (no
+    residual).  :func:`fused_pair_plan` is the general planner (hybrid
+    residual, bounded-error grids); this wrapper keeps the historical
+    all-or-nothing contract.
+
     Decided from the observation index + values alone so the single-device
     and sharded engines always agree (same invariant as int8_pair_ok).
     Returns ``(s, m)`` or None.
     """
+    plan = fused_pair_plan(idx, vals, shape, tol=None)
+    if plan is None or not plan[2].all():
+        return None
+    return plan[0], plan[1]
+
+
+def fused_pair_plan(idx: np.ndarray, vals: np.ndarray,
+                    shape: Sequence[int], tol: Optional[float] = None):
+    """General planner for the single-array fused dense path (the
+    fused-INELIGIBLE sparse-regime answer, VERDICT r3 #2).
+
+    Extends :func:`fused_pair_encode` with two relaxations, each under an
+    explicit contract:
+
+    - **Hybrid residual (exact math).**  (P_i, b_i) are SUMS over
+      observations, so the observation multiset may be split: at most one
+      encodable observation per (i, j) cell goes into V8; everything
+      else — duplicate observations, and observations whose grid level
+      equals the shift ``m`` (their code would be the 0 = unobserved
+      sentinel) — rides the bucketed GATHER path with exact values.  The
+      two paths' contributions add, so the hybrid is mathematically
+      identical to one-path accumulation.
+    - **Bounded-error grid (``tol``, opt-in).**  Values with no exact
+      <=255-level grid are rounded onto the finest uniform grid whose
+      span fits the int8 code range; the path is DECLINED unless the
+      grid's max rounding error ``s/2 <= tol``.  The error enters only
+      the latent conditional's rhs b (linearly, bounded by
+      ``tol * sqrt(deg_i)`` per row before the P^-1 solve); alpha
+      sampling and prediction keep exact values.  ``tol=None`` (default)
+      admits exact grids only.
+
+    Returns ``None`` or ``(s, m, keep)`` where ``keep`` is a bool mask
+    over observations (True -> encoded in V8; ``keep.all()`` when no
+    residual is needed).  Decided from (idx, vals, shape, tol) alone, so
+    the single-device and sharded engines always agree (the engine-parity
+    invariant).
+    """
     if idx.shape[1] != 2 or idx.shape[0] == 0:
         return None
-    lin = idx[:, 0].astype(np.int64) * int(shape[1]) + idx[:, 1]
-    if np.unique(lin).size != lin.size:     # duplicates sum in M/W; a
-        return None                         # single array cannot carry them
-    d = np.unique(np.asarray(vals, np.float64))
-    if d.size > 254:
-        return None
-    s = float(np.min(np.diff(d))) if d.size > 1 else (
-        abs(float(d[0])) if d[0] != 0 else 1.0)
-    if not np.isfinite(s) or s <= 0:
-        return None
-    q = d / s
-    qi = np.rint(q)
-    # exact grid: every value must be an integer multiple of the step and
-    # reconstruct to within f64 roundoff (anything else would be a silent
-    # quantization path — decline instead)
-    if np.max(np.abs(q - qi)) > 1e-9:
-        return None
-    if np.max(np.abs(qi * s - d)) > 1e-9 * max(1.0, float(np.abs(d).max())):
-        return None
-    qi = qi.astype(np.int64)
-    if qi.max() - qi.min() > 253:
+    v64 = np.asarray(vals, np.float64)
+    d = np.unique(v64)
+    s = None
+    if d.size <= 255:
+        # exact grid: every value an integer multiple of the step,
+        # reconstructing to f64 roundoff (same rule as the strict form)
+        se = float(np.min(np.diff(d))) if d.size > 1 else (
+            abs(float(d[0])) if d[0] != 0 else 1.0)
+        if np.isfinite(se) and se > 0:
+            q = d / se
+            qd = np.rint(q)
+            if (np.max(np.abs(q - qd)) <= 1e-9
+                    and np.max(np.abs(qd * se - d))
+                    <= 1e-9 * max(1.0, float(np.abs(d).max()))
+                    and qd.max() - qd.min() <= 254):
+                s = se
+    if s is None:
+        if tol is None or not np.isfinite(tol) or tol <= 0:
+            return None
+        # finest uniform grid whose rounded span fits 255 levels (<= 254
+        # after rint of the endpoints); decline if its error exceeds tol
+        rng_v = float(d[-1] - d[0])
+        s = (rng_v / 253.0 if rng_v > 0
+             else (abs(float(d[0])) if d[0] != 0 else 1.0))
+        if s / 2.0 > tol:
+            return None
+    qi = np.rint(d / s).astype(np.int64)
+    lo, hi = int(qi.min()), int(qi.max())
+    if hi - lo > 254:
         return None
     used = set(int(x) for x in qi)
-    best = None
-    for m in range(int(qi.min()) - 1, int(qi.max()) + 2):
-        if m in used:                       # some e would be 0 -> unmasked
+    # shift search: prefer an UNUSED level (no zero-code residual, the
+    # historical behavior bit-for-bit), then minimal |e| range
+    best_free, best_used = None, None
+    for m in range(lo - 1, hi + 2):
+        emax = max(abs(lo - m), abs(hi - m))
+        if emax > 127:
             continue
-        emax = max(abs(int(qi.min()) - m), abs(int(qi.max()) - m))
-        if emax <= 127 and (best is None or emax < best[1]):
-            best = (m, emax)
+        if m in used:
+            if best_used is None or emax < best_used[1]:
+                best_used = (m, emax)
+        elif best_free is None or emax < best_free[1]:
+            best_free = (m, emax)
+    best = best_free if best_free is not None else best_used
     if best is None:
         return None
-    return s, best[0]
+    m = best[0]
+    # keep mask: the first encodable observation per linear cell; the
+    # rest (duplicates, zero-code level) are the gather residual
+    q_obs = np.rint(v64 / s).astype(np.int64)
+    encodable = q_obs != m
+    keep = np.zeros(idx.shape[0], bool)
+    pos = np.nonzero(encodable)[0]
+    if pos.size:
+        lin = (idx[pos, 0].astype(np.int64) * int(shape[1])
+               + idx[pos, 1])
+        _, first = np.unique(lin, return_index=True)
+        keep[pos[first]] = True
+    if not keep.any():
+        return None
+    return float(s), int(m), keep
 
 
 def encode_fused_values(vals: np.ndarray, s: float, m: int) -> np.ndarray:

@@ -150,14 +150,20 @@ class ShardedProblem:
         # IDENTICAL to the single-device engine's (original idx/vals, true
         # counts, same budget) so both engines always pick the same set
         fused_enc = [None] * len(rd.relations)
+        fused_keep_all: Dict[int, np.ndarray] = {}
         if config.dense_fused is not False and config.dense_gram is not False:
             for ri, rel in enumerate(rd.relations):
                 if (rel.arity == 2 and rel.data.nnz
                         and (config.dense_fused
                              or rel.data.nnz >= dg._AUTO_MIN_NNZ)):
-                    fused_enc[ri] = dg.fused_pair_encode(
-                        rel.data.idx, rel.data.vals, shapes[ri])
+                    plan = dg.fused_pair_plan(
+                        rel.data.idx, rel.data.vals, shapes[ri],
+                        tol=config.dense_fused_tol)
+                    if plan is not None:
+                        fused_enc[ri] = plan[:2]
+                        fused_keep_all[ri] = plan[2]
         self.fused_i8: Dict[int, bool] = {}
+        self.fused_keep: Dict[int, np.ndarray] = {}
         self.fused_rels, fused_spent = dg.plan_fused_rels(
             shapes, [rel.data.nnz for rel in rd.relations],
             config.num_latent, config.dense_gram, config.dense_fused,
@@ -236,11 +242,16 @@ class ShardedProblem:
                 # Stored in the permuted+padded layout; pad cells are 0 =
                 # unobserved, so they contribute nothing through the mask.
                 s_, m_ = self.fused_rels[ri]
+                kp = fused_keep_all[ri]
+                if not kp.all():
+                    self.fused_keep[ri] = kp
+                idx_k = idx_p if kp.all() else idx_p[kp]
+                vals_k = rel.data.vals if kp.all() else rel.data.vals[kp]
                 dims_pad = [self.ent_meta[eids[d]].n_pad
                             for d in range(rel.arity)]
-                e8 = dg.encode_fused_values(rel.data.vals, s_, m_)
-                lin_p = (idx_p[:, 0].astype(np.int64) * dims_pad[1]
-                         + idx_p[:, 1])
+                e8 = dg.encode_fused_values(vals_k, s_, m_)
+                lin_p = (idx_k[:, 0].astype(np.int64) * dims_pad[1]
+                         + idx_k[:, 1])
                 V = np.zeros(dims_pad[0] * dims_pad[1], np.int8)
                 V[lin_p] = e8
                 meta0 = self.ent_meta[eids[0]]
@@ -252,14 +263,15 @@ class ShardedProblem:
                 self.fused_i8[ri] = bool(
                     config.dense_int8
                     and dg.fused_int8_ok(
-                        dg.fused_code_bound(rel.data.vals, s_, m_),
+                        dg.fused_code_bound(vals_k, s_, m_),
                         [e.count for e in rel.entities]))
                 if self.fused_i8[ri]:
                     # static focus observation counts (int8 PD ridge) in
                     # the permuted+padded shard layout: mode 0 tiles by
                     # the row shard, mode 1 by the psum_scatter tile
+                    # (fused-path observations only, like the plain engine)
                     for mode in range(rel.arity):
-                        deg = np.bincount(idx_p[:, mode],
+                        deg = np.bincount(idx_k[:, mode],
                                           minlength=dims_pad[mode])
                         arrays_sh["dense"][f"r{ri}"][f"deg_m{mode}"] = \
                             jnp.asarray(deg.reshape(n_dev, -1), jnp.float32)
@@ -267,14 +279,21 @@ class ShardedProblem:
                     self.dense_plans[(ri, mode)] = dg.DenseModePlan(
                         "fused", dims_pad[mode],
                         (dims_pad[1 - mode],))
-                    arrays_sh["layouts"][f"r{ri}m{mode}"] = []
-                    host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
+                    if kp.all():
+                        arrays_sh["layouts"][f"r{ri}m{mode}"] = []
+                        host_inst[f"r{ri}m{mode}"] = [[]
+                                                      for _ in range(n_dev)]
+            # hybrid fused relations: residual observations (duplicates /
+            # zero-code level, exact values) get the normal sharded
+            # bucketed layouts, built from the residual subset below
+            resid_sel = (np.nonzero(~self.fused_keep[ri])[0]
+                         if ri in self.fused_keep else None)
             for mode in range(rel.arity):
                 em = eids[mode]
                 meta = self.ent_meta[em]
-                if ri in self.fused_rels:
+                if ri in self.fused_rels and resid_sel is None:
                     continue
-                if (ri, mode) in self.dense_plans:
+                if ri not in self.fused_rels and (ri, mode) in self.dense_plans:
                     # full permuted+padded pair [n_pad, prod partner n_pad];
                     # reshape to [n_dev, n_loc, Np] IS the per-device stack
                     # (owner = position // n_loc)
@@ -307,26 +326,29 @@ class ShardedProblem:
                     arrays_sh["layouts"][f"r{ri}m{mode}"] = []
                     host_inst[f"r{ri}m{mode}"] = [[] for _ in range(n_dev)]
                     continue
-                owner = idx_p[:, mode] // meta.n_loc
-                local_focus = idx_p[:, mode] - owner * meta.n_loc
+                g_idx = idx_p if resid_sel is None else idx_p[resid_sel]
+                g_cen = (centered if resid_sel is None
+                         else centered[resid_sel])
+                owner = g_idx[:, mode] // meta.n_loc
+                local_focus = g_idx[:, mode] - owner * meta.n_loc
                 if meta.n_head:
                     # head observations round-robin across devices; they
                     # accumulate into per-device GHOST slots psum-reduced
                     # at sample time (SURVEY §7.7 head splitting)
                     rank_map = self.head_rank[em]
-                    is_head = np.isin(idx_p[:, mode], self.head_pos[em])
+                    is_head = np.isin(g_idx[:, mode], self.head_pos[em])
                     hsel = np.nonzero(is_head)[0]
                     owner[hsel] = hsel % n_dev
                     local_focus[hsel] = meta.n_loc + np.asarray(
-                        [rank_map[int(p)] for p in idx_p[hsel, mode]],
+                        [rank_map[int(p)] for p in g_idx[hsel, mode]],
                         np.int64)
                 per_dev = []
                 for d in range(n_dev):
                     sel = owner == d
-                    loc_idx = idx_p[sel].copy()
+                    loc_idx = g_idx[sel].copy()
                     loc_idx[:, mode] = local_focus[sel]
                     per_dev.append(layout_mod.build_mode_layout(
-                        loc_idx, centered[sel], mode, meta.n_ext,
+                        loc_idx, g_cen[sel], mode, meta.n_ext,
                         widths=config.bucket_widths, row_pad=config.row_pad,
                         dtype=dtype))
                 stacked, dev_inst = self._stack_layouts(per_dev, rel.arity,
@@ -974,7 +996,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                     dense_contribs.append(
                         (rels[ri]["alpha"], partners, ri, mode, dims_sh,
                          plan))
-                    continue
+                # hybrid fused relations carry residual buckets alongside
+                # the dense plan (empty list otherwise)
                 for ba in layouts[f"r{ri}m{mode}"]:
                     contribs.append((rels[ri]["alpha"], partners, ba))
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None

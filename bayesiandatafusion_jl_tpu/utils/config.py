@@ -95,6 +95,16 @@ class MacauConfig:
     # partner operands stay in gram_dtype and the path is quantization-
     # free.
     dense_fused: Optional[bool] = None
+    # Bounded-error admission for the fused path (opt-in; VERDICT r3 #2):
+    # values with no exact <=255-level grid (continuous pIC50s, float
+    # scores) are rounded onto the finest uniform grid that fits the int8
+    # code range IF its max rounding error s/2 <= dense_fused_tol — an
+    # absolute value-error contract (the error enters only the latent
+    # conditional's rhs; alpha sampling and prediction keep exact
+    # values).  None = exact grids only.  Duplicate observations and
+    # zero-code levels never need this knob: they ride a gather-path
+    # residual with exact values (ops/dense_gram.fused_pair_plan).
+    dense_fused_tol: Optional[float] = None
 
     # --- beta solver (SURVEY §4.4) ---
     use_ff: Optional[bool] = None  # None = auto: direct X'X path iff F <= ff_threshold

@@ -77,6 +77,66 @@ def test_encode_wide_grid_declines():
 
 
 # ---------------------------------------------------------------------------
+# fused_pair_plan: hybrid residual + bounded-error grids (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+def test_plan_duplicates_ride_residual():
+    """Duplicate (i, j) observations no longer decline the fused path:
+    the first occurrence per cell goes into V8, the rest become the
+    exact-valued gather residual."""
+    rng = np.random.default_rng(5)
+    idx = _coo(rng, 30, 30, 200)
+    vals = rng.integers(1, 6, 200).astype(np.float64)
+    dup = np.concatenate([idx, idx[:7]], 0)
+    dv = np.concatenate([vals, rng.integers(1, 6, 7).astype(np.float64)])
+    plan = dg.fused_pair_plan(dup, dv, (30, 30))
+    assert plan is not None
+    s, m, keep = plan
+    assert keep[:200].all() and not keep[200:].any()
+    # same (s, m) as the strict encoder sees on the duplicate-free subset
+    assert (s, m) == dg.fused_pair_encode(idx, vals, (30, 30))
+    # the strict wrapper still declines the duplicated multiset
+    assert dg.fused_pair_encode(dup, dv, (30, 30)) is None
+
+
+def test_plan_tol_grid_bounded_error():
+    """Continuous values engage only under an explicit tol, and the
+    reconstruction error of every encoded observation respects it."""
+    rng = np.random.default_rng(6)
+    idx = _coo(rng, 30, 30, 400)
+    cont = rng.standard_normal(400)
+    assert dg.fused_pair_plan(idx, cont, (30, 30)) is None      # no tol
+    tol = 0.05
+    plan = dg.fused_pair_plan(idx, cont, (30, 30), tol=tol)
+    assert plan is not None
+    s, m, keep = plan
+    assert s / 2.0 <= tol
+    e = dg.encode_fused_values(cont[keep], s, m)
+    assert e.dtype == np.int8 and (e != 0).all()
+    recon = s * (e.astype(np.float64) + m)
+    assert np.max(np.abs(recon - cont[keep])) <= tol + 1e-12
+    # a tol below the achievable 255-level grid error declines
+    assert dg.fused_pair_plan(idx, cont * 1000.0, (30, 30),
+                              tol=tol) is None
+
+
+def test_plan_full_grid_zero_code_residual():
+    """A fully-populated 255-level exact grid has no free shift: the mid
+    level's observations ride the residual and every stored code stays a
+    nonzero int8 — exact math, where the strict encoder declines."""
+    idx = _coo(np.random.default_rng(7), 30, 30, 255)
+    vals = np.arange(255, dtype=np.float64)
+    plan = dg.fused_pair_plan(idx, vals, (30, 30))
+    assert plan is not None
+    s, m, keep = plan
+    e = dg.encode_fused_values(vals[keep], s, m)
+    assert (e != 0).all() and np.abs(e.astype(np.int64)).max() <= 127
+    np.testing.assert_allclose(s * (e.astype(np.float64) + m), vals[keep])
+    assert (~keep).sum() == 1 and vals[~keep][0] == float(m) * s
+    assert dg.fused_pair_encode(idx, vals, (30, 30)) is None
+
+
+# ---------------------------------------------------------------------------
 # fused_gram_contrib vs direct dense math
 # ---------------------------------------------------------------------------
 
@@ -359,6 +419,62 @@ def test_engine_fused_packed_fast_path_matches(monkeypatch):
                                               jr, 0.0)
         outs.append(np.asarray(state["ent"][0]["U"]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-4)
+
+
+def test_engine_hybrid_duplicates_oracle_equiv():
+    """Hybrid fused relation (duplicates -> exact gather residual): the
+    split accumulation is mathematically identical to one-path
+    accumulation, so f64 oracle equivalence holds at 1e-8."""
+    from tests.test_oracle_equiv import _run_equiv
+    rng = np.random.default_rng(31)
+    n1, n2 = 22, 17
+    mask = rng.random((n1, n2)) < 0.5
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(np.arange(1.0, 6.0), idx.shape[0])
+    idx_d = np.concatenate([idx, idx[:9]], 0)
+    vals_d = np.concatenate([vals, rng.choice(np.arange(1.0, 6.0), 9)])
+    df = bdf.IndexedDF(idx_d, vals_d, (n1, n2))
+    rd = bdf.RelationData.from_indexed_df(df)
+    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
+                      dense_gram=True, dense_fused=True, seed=33)
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+    eng = MacauEngine(rd, cfg)
+    assert eng.problem.fused_rels, "fused path did not engage"
+    assert eng.problem.fused_keep, "hybrid residual did not engage"
+    _run_equiv(rd, cfg, n_sweeps=3)
+
+
+def test_engine_tol_grid_tracks_exact():
+    """Bounded-error fused encoding (dense_fused_tol) on continuous
+    values: short-chain RMSE tracks the exact dense-pair path within the
+    contract's noise scale."""
+    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
+
+    rng = np.random.default_rng(73)
+    n1, n2, r = 120, 90, 4
+    U = rng.standard_normal((n1, r)) / np.sqrt(r)
+    V = rng.standard_normal((n2, r)) / np.sqrt(r)
+    mask = rng.random((n1, n2)) < 0.35
+    idx = np.stack(np.nonzero(mask), 1)
+    score = np.einsum("nk,nk->n", U[idx[:, 0]], V[idx[:, 1]]) * np.sqrt(r)
+    vals = 3.0 + score + 0.05 * rng.standard_normal(idx.shape[0])
+    df = bdf.IndexedDF(idx, vals, (n1, n2))
+    rmses = {}
+    for fused in (False, True):
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 400, seed=7)
+        cfg = MacauConfig(num_latent=4, burnin=10, psamples=0,
+                          verbose=False, dtype="float32",
+                          dense_gram=True,
+                          dense_fused=True if fused else False,
+                          dense_fused_tol=0.02 if fused else None,
+                          seed=42, sweeps_per_dispatch=10)
+        eng = MacauEngine(rd, cfg)
+        if fused:
+            assert eng.problem.fused_rels, "tol grid did not engage"
+        out = eng.benchmark(10, repeats=1)
+        rmses[fused] = float(out["metrics"]["r0.rmse_avg"])
+    assert abs(rmses[True] - rmses[False]) < 0.03, rmses
 
 
 def test_engine_fused_auto_declines_when_pair_fits():

@@ -139,6 +139,7 @@ def test_pallas_chol_packed_tiled_matches_xla(interpret_pallas):
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_engine_dense_packed_matches_full(interpret_pallas):
     """All-dense entity + pallas => packed-triangle pipeline (engine.py);
     must match the pallas='off' dense path on the same seed."""
@@ -175,6 +176,7 @@ def test_engine_dense_packed_matches_full(interpret_pallas):
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sharded_packed_tiled_matches_single(interpret_pallas):
     """32 < K <= 96 packed column-slab path on the SHARDED engine: the
     8-device run (exchange-block slicing + per-chunk kernel padding) must
@@ -238,6 +240,7 @@ def test_unknown_accumulation_rejected():
         MacauConfig(accumulation="window")  # removed r1 experiment
 
 
+@pytest.mark.slow
 def test_pallas_chol_packed_transposed_matches_batchlead(interpret_pallas):
     """transposed=True (kernel-layout [C, B] / [K, B] inputs) must produce
     exactly the batch-leading path's samples — both kernels, both pad and

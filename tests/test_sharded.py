@@ -383,6 +383,37 @@ def test_sharded_fused_int8_matches_single():
                                rtol=1e-8, atol=1e-8)
 
 
+def test_sharded_fused_hybrid_matches_single():
+    """Hybrid fused relation (duplicate observations ride the exact
+    gather residual alongside the row-sharded V8): both engines split
+    identically (fused_pair_plan is layout-invariant) and the 8-device
+    factors match the single-device run at 1e-8 in f64."""
+    rng = np.random.default_rng(57)
+    n1, n2 = 53, 37
+    mask = rng.random((n1, n2)) < 0.5
+    idx = np.stack(np.nonzero(mask), 1)
+    vals = rng.choice(np.arange(1.0, 6.0), idx.shape[0])
+    idx_d = np.concatenate([idx, idx[:11]], 0)
+    vals_d = np.concatenate([vals, rng.choice(np.arange(1.0, 6.0), 11)])
+    df = bdf.IndexedDF(idx_d, vals_d, (n1, n2))
+
+    def build():
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 70, seed=1)
+        return rd
+
+    cfg = MacauConfig(num_latent=3, burnin=2, psamples=2, verbose=False,
+                      dtype="float64", dense_gram=True, dense_fused=True,
+                      seed=15, clamp=(1.0, 5.0))
+    eng8 = ShardedMacauEngine(build(), cfg, mesh=data_mesh())
+    assert eng8.problem.fused_rels, "fused path did not engage (sharded)"
+    assert eng8.problem.fused_keep, "hybrid residual did not engage"
+    r1, r8 = _compare_engines(build, cfg, n_sweeps=4)
+    np.testing.assert_allclose(r8["predictions"]["pred"],
+                               r1["predictions"]["pred"],
+                               rtol=1e-8, atol=1e-8)
+
+
 def test_sharded_fused_with_head_split():
     """Fused modes ignore head splitting (row-balanced MXU work); the
     ghost-slot machinery must stay structurally idle and parity hold."""
