@@ -168,7 +168,8 @@ class CompiledProblem:
                 config.dense_int8
                 and dg.fused_int8_ok(
                     dg.fused_code_bound(vals_k, *_enc),
-                    shapes[ri]))
+                    shapes[ri], idx=idx_k,
+                    abs_codes=dg.fused_abs_codes(vals_k, *_enc)))
             arrays["dense"][f"r{ri}"] = {"V8": dg.build_fused_values_device(
                 idx_k, vals_k, shapes[ri], *_enc,
                 pad_to=(1024, 512) if self.fused_pallas else None)}

@@ -703,20 +703,39 @@ def fused_code_bound(vals: np.ndarray, s: float, m: int) -> int:
     return int(np.max(np.abs(e)))
 
 
-def fused_int8_ok(emax: int, shape: Sequence[int]) -> bool:
+def fused_int8_ok(emax: int, shape: Sequence[int],
+                  idx: Optional[np.ndarray] = None,
+                  abs_codes: Optional[np.ndarray] = None) -> bool:
     """int32-overflow eligibility for the fused s8 MXU path.
 
-    Both dots accumulate in exact int32; the worst-case magnitudes are
-    ``127 * n_contract`` (mask x quantized partner) and
-    ``emax * 127 * n_contract`` (stored codes x quantized partner), where
-    n_contract ranges over BOTH axes (each mode contracts one).  ``shape``
-    is the TRUE relation shape; an internal slack covers any engine
-    padding (kernel blocks <= 1024, mesh round-up) so the single-device
-    and sharded engines always agree regardless of layout (the
-    engine-parity invariant).  Pad rows/cells contribute exact zeros, so
-    the slack only needs to cover their count, not their values."""
+    Both dots accumulate in exact int32.  One output element sums over a
+    single observed FIBER: ``BV[i, c] = sum_p e_(i,p) * z8_(p,c)`` with
+    ``|z8| <= 127``, so with ``(idx, abs_codes)`` given the EXACT bound is
+    ``127 * max_axis(bincount(idx[:, axis], weights=|e|))`` — the mask
+    dot PM is covered too (``|e| >= 1`` at observed cells).  Both axes
+    are checked (each mode contracts one); the bincount maxima are
+    permutation-invariant, so the single-device and sharded engines
+    always agree regardless of layout (the engine-parity invariant), and
+    pad cells are exact zeros.
+
+    Without the observation data it falls back to the dense worst case
+    ``127 * emax * (max(shape) + slack)`` — every fiber cell observed at
+    the max code — which wrongly declines Netflix-scale continuous grids
+    (emax ~127) that the exact per-fiber bound admits by ~40x."""
+    if idx is not None and abs_codes is not None and idx.shape[0]:
+        worst = 1.0
+        for ax in range(idx.shape[1]):
+            worst = max(worst, float(np.bincount(
+                idx[:, ax], weights=np.asarray(abs_codes, np.float64))
+                .max()))
+        return 127.0 * worst < 2.0 ** 31 * 0.95
     n_c = max(int(d) for d in shape) + 8192
     return 127.0 * max(emax, 1) * n_c < 2.0 ** 31 * 0.95
+
+
+def fused_abs_codes(vals: np.ndarray, s: float, m: int) -> np.ndarray:
+    """|e| over the stored int8 codes (weights for the per-fiber bound)."""
+    return np.abs(np.rint(np.asarray(vals, np.float64) / s) - m)
 
 
 def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None):

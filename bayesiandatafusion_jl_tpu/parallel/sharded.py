@@ -264,7 +264,8 @@ class ShardedProblem:
                     config.dense_int8
                     and dg.fused_int8_ok(
                         dg.fused_code_bound(vals_k, s_, m_),
-                        [e.count for e in rel.entities]))
+                        [e.count for e in rel.entities], idx=idx_k,
+                        abs_codes=dg.fused_abs_codes(vals_k, s_, m_)))
                 if self.fused_i8[ri]:
                     # static focus observation counts (int8 PD ridge) in
                     # the permuted+padded shard layout: mode 0 tiles by

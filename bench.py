@@ -2,7 +2,8 @@
 
 Default (driver) config: ML-10M rank 32 rows/s/chip — the north-star
 metric.  Select others with BENCH_CONFIG= ml100k | chembl | tensor |
-fusion | sharded1; BENCH_SMOKE=1 shrinks the default for CPU smoke runs.
+fusion | netflix | netflix_cont | netflix_gather | sharded1;
+BENCH_SMOKE=1 shrinks the default for CPU smoke runs.
 
 ``vs_baseline`` is computed against the literature-anchored estimate of
 the reference's per-core throughput: 1e5 rows/s (upper end of the
@@ -256,7 +257,7 @@ def bench_fusion():
           dt=dt, m=m, flops=eng.problem.flops_per_sweep())
 
 
-def bench_netflix(gather=False, smoke=False):
+def bench_netflix(gather=False, smoke=False, cont=False):
     """Config #6 (VERDICT r2 #1): the dense-pair-INELIGIBLE sparse regime.
 
     Netflix-prize-shaped: 480,189 users x 17,770 movies, 100,480,507
@@ -300,6 +301,19 @@ def bench_netflix(gather=False, smoke=False):
         del i1, i2, vals
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         np.savez(cache, idx=df.idx, vals=df.vals)
+    if cont:
+        # netflix_cont (VERDICT r3 #2): the CONTINUOUS-valued variant of
+        # the same shape — no exact grid exists, so the fused path
+        # engages only through the dense_fused_tol bounded-error
+        # contract (max value rounding error <= 0.01 on the ~1..5
+        # scale).  Deterministic jitter of the cached integer ratings:
+        # same sparsity pattern, values off every grid.
+        rngc = np.random.default_rng(17)
+        vals_c = (df.vals.astype(np.float32)
+                  + rngc.uniform(-0.45, 0.45,
+                                 df.nnz).astype(np.float32))
+        df = bdf.IndexedDF(df.idx, vals_c, df.shape)
+        del vals_c
     rd = bdf.RelationData.from_indexed_df(df, relation_name="ratings")
     rd.assign_to_test(0, 100_000, seed=7)
     print(f"# netflix data gen: {time.time()-t0:.1f}s (nnz={df.nnz})",
@@ -310,6 +324,7 @@ def bench_netflix(gather=False, smoke=False):
         clamp=(1.0, 5.0), verbose=False, dtype="float32",
         gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
         sweeps_per_dispatch=sweeps, dense_int8=True,
+        dense_fused_tol=0.01 if cont else None,
         dense_gram=None if not gather else False)
     if gather:
         # The gather path cannot run this config at full scale AT ALL:
@@ -365,13 +380,19 @@ def bench_netflix(gather=False, smoke=False):
     t0 = time.time()
     eng = MacauEngine(rd, mk_cfg())
     assert eng.problem.fused_rels, "fused path did not engage"
+    tag = "fused"
+    if cont:
+        assert eng.problem.fused_i8.get(0), \
+            "continuous grid fell off the s8 path (per-fiber bound)"
+        tag = "fused tol=0.01 continuous"
     print(f"# netflix engine build (fused): {time.time()-t0:.1f}s",
           file=sys.stderr)
     warm.join()
-    dt, m = _time_engine(eng, sweeps, "netflix-fused")
+    dt, m = _time_engine(eng, sweeps,
+                         "netflix-cont" if cont else "netflix-fused")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
     rmse = m.get("rmse_at_sweeps", m["r0.rmse_sample"])
-    _emit(f"netflix-shaped rows/s/chip (fused; 480k x 17.8k, 100.5M nnz, "
+    _emit(f"netflix-shaped rows/s/chip ({tag}; 480k x 17.8k, 100.5M nnz, "
           f"r32; rmse_sample@{sweeps}={rmse:.4f})", n_rows / dt,
           dt=dt, m=m, flops=eng.problem.flops_per_sweep())
 
@@ -400,6 +421,8 @@ def main():
         bench_fusion()
     elif cfg == "netflix":
         bench_netflix(smoke=smoke)
+    elif cfg == "netflix_cont":
+        bench_netflix(cont=True, smoke=smoke)
     elif cfg == "netflix_gather":
         bench_netflix(gather=True, smoke=smoke)
     elif cfg == "sharded1":

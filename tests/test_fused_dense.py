@@ -120,6 +120,22 @@ def test_plan_tol_grid_bounded_error():
                               tol=tol) is None
 
 
+def test_fused_int8_exact_fiber_bound():
+    """The per-fiber |code|-sum bound admits sparse continuous grids the
+    dense worst case wrongly declines, and still declines a genuinely
+    overflowing hot fiber."""
+    shape = (480_189, 17_770)
+    assert not dg.fused_int8_ok(127, shape)          # dense worst case
+    rng = np.random.default_rng(8)
+    idx = _coo(rng, 500, 400, 5_000)
+    codes = rng.integers(1, 128, 5_000).astype(np.float64)
+    assert dg.fused_int8_ok(127, shape, idx=idx, abs_codes=codes)
+    hot = np.stack([np.zeros(200_000, np.int64),
+                    np.arange(200_000) % 400], 1)
+    assert not dg.fused_int8_ok(127, shape, idx=hot,
+                                abs_codes=np.full(200_000, 127.0))
+
+
 def test_plan_full_grid_zero_code_residual():
     """A fully-populated 255-level exact grid has no free shift: the mid
     level's observations ride the residual and every stored code stays a
