@@ -763,9 +763,17 @@ class MacauEngine(GibbsDriverMixin):
                 for _a, _p, ri_, mode_, pl_ in dense_contribs:
                     cells = float(pl_.n_focus) * float(
                         np.prod(pl_.partner_counts))
-                    prefers_trans = (pl_.kind != "fused"
-                                     and (len(pl_.partner_counts) > 1
-                                          or mode_ == 0))
+                    if pl_.kind == "fused":
+                        # with the flip_out Pallas kernel the fused mode
+                        # emits the [C, N] kernel layout directly
+                        # (VERDICT r3 #3) and so PREFERS the transposed
+                        # accumulator; the XLA fallback keeps the natural
+                        # preference (its flipped masked einsum is 2.5x
+                        # slower, r3 probe)
+                        prefers_trans = self.problem.fused_pallas
+                    else:
+                        prefers_trans = (len(pl_.partner_counts) > 1
+                                         or mode_ == 0)
                     vote += cells if prefers_trans else -cells
                 trans = vote > 0.0
                 b_acc = (jnp.einsum("nk,kj->jn", prior_mean, Lambda)

@@ -589,13 +589,20 @@ def fused_gram_contrib(
 
     if use_pallas:
         from .pallas_fused import fused_pair_pallas
+        if packed and transposed:
+            # kernel-layout emission (VERDICT r3 #3): the kernel writes
+            # [CK, n] directly — no XLA transpose pass on the way to the
+            # packed sampler
+            PM, BV = fused_pair_pallas(V8, YZ, U, focus_axis,
+                                       flip_out=True)
+            PM = PM[:, :n_focus].astype(out_dtype)
+            BV = BV[:, :n_focus].astype(out_dtype)
+            return PM[:C], c1 * BV + c0 * PM[C:]
         PM, BV = fused_pair_pallas(V8, YZ, U, focus_axis)
         PM = PM[:n_focus].astype(out_dtype)
         BV = BV[:n_focus].astype(out_dtype)
         Pt = PM[:, :C]
         b = c1 * BV + c0 * PM[:, C:]
-        if packed and transposed:
-            return Pt.T, b.T
         if packed:
             return Pt, b
         P = jnp.take(Pt, jnp.asarray(expand), axis=1)
@@ -763,14 +770,19 @@ def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None):
 
 def fused_pair_contract_i8(V8: jax.Array, YZ8: jax.Array, Z8: jax.Array,
                            focus_axis: int, use_pallas: bool = False,
-                           row_chunks: int = 32):
+                           row_chunks: int = 32,
+                           flip_out: bool = False):
     """Raw fused contraction on int8 operands: EXACT int32
     ``PM = (V8 != 0) @ YZ8`` and ``BV = V8 @ Z8`` in the natural
     [n_focus_padded, .] layout (transposition happens in the f32 finish —
     int32 sums must stay raw so the sharded engine can psum them EXACTLY
     before dequantizing; integer addition is associative, so the chunked
     fallback, the Pallas kernel, and any cross-device partial-sum order
-    all produce bitwise-identical totals)."""
+    all produce bitwise-identical totals).
+
+    ``flip_out`` (Pallas only) emits the kernel layout [., n_focus_padded]
+    instead — the same exact int32 values, still psum-able along the
+    focus tiles."""
     if YZ8.shape[0] != V8.shape[1 - focus_axis]:
         padn = V8.shape[1 - focus_axis] - YZ8.shape[0]
         YZ8 = jnp.concatenate(
@@ -778,7 +790,9 @@ def fused_pair_contract_i8(V8: jax.Array, YZ8: jax.Array, Z8: jax.Array,
         Z8 = jnp.concatenate([Z8, jnp.zeros((padn, Z8.shape[1]), jnp.int8)])
     if use_pallas:
         from .pallas_fused import fused_pair_pallas
-        return fused_pair_pallas(V8, YZ8, Z8, focus_axis)
+        return fused_pair_pallas(V8, YZ8, Z8, focus_axis,
+                                 flip_out=flip_out)
+    assert not flip_out, "flip_out is a Pallas-kernel layout option"
     n0, n1 = V8.shape
     ck, k = YZ8.shape[1], Z8.shape[1]
     chunks = max(1, min(row_chunks, n0))
@@ -829,24 +843,47 @@ def fused_finish_i8(PM: jax.Array, BV: jax.Array, s_yz: jax.Array,
                     scale: float, shift: int, mean: float,
                     packed: bool = False, transposed: bool = False,
                     n_focus: Optional[int] = None,
-                    ridge_deg: Optional[jax.Array] = None):
+                    ridge_deg: Optional[jax.Array] = None,
+                    pre_transposed: bool = False):
     """Dequantize + center the raw int32 sums into (P, b).
 
     Applies the fused b identity ``b = s*(V8@Z) + (s*shift - mean)*(M@Z)``
     on the dequantized blocks, and the same PD safety ridge as the pair
     path (ops/dense_gram.dense_gram_contrib: ~1.7 sigma of per-row
     spectral quantization noise on the diagonal — load-bearing for long
-    chains, r2s5 forensics)."""
+    chains, r2s5 forensics).
+
+    ``pre_transposed``: PM/BV arrive in the kernel layout [., n] from the
+    flip_out Pallas kernel (requires ``transposed=True``) — the finish
+    dequantizes along rows and emits (Pt [C, n], b [K, n]) with no
+    transpose anywhere."""
     assert not transposed or packed, "transposed requires packed=True"
+    assert not pre_transposed or transposed
     iu, ju, expand = _tri_maps(K)
+    c1 = jnp.asarray(scale, out_dtype)
+    c0 = jnp.asarray(scale * shift - mean, out_dtype)
+    if pre_transposed:
+        C = PM.shape[0] - K
+        if n_focus is not None and PM.shape[1] != n_focus:
+            PM, BV = PM[:, :n_focus], BV[:, :n_focus]
+        nf = PM.shape[1]
+        PMf = PM.astype(out_dtype) * s_yz.astype(out_dtype)[:, None]
+        BVf = BV.astype(out_dtype) * s_z.astype(out_dtype)[:, None]
+        Pt = PMf[:C]
+        b = c1 * BVf + c0 * PMf[C:]
+        if ridge_deg is not None:
+            dc = jnp.asarray(np.nonzero(iu == ju)[0])
+            step = jnp.mean(s_yz[:C]) * (0.5 * float(np.sqrt(K)))
+            rdeg = jnp.sqrt(ridge_deg.astype(jnp.float32)[:nf])
+            Pt = Pt.at[dc, :].add((rdeg[None, :] * step)
+                                  .astype(out_dtype))
+        return Pt, b
     C = PM.shape[1] - K
     if n_focus is not None and PM.shape[0] != n_focus:
         PM, BV = PM[:n_focus], BV[:n_focus]
     nf = PM.shape[0]
     PMf = PM.astype(out_dtype) * s_yz.astype(out_dtype)
     BVf = BV.astype(out_dtype) * s_z.astype(out_dtype)
-    c1 = jnp.asarray(scale, out_dtype)
-    c0 = jnp.asarray(scale * shift - mean, out_dtype)
     Pt = PMf[:, :C]
     b = c1 * BVf + c0 * PMf[:, C:]
     if ridge_deg is not None:
@@ -878,13 +915,16 @@ def fused_gram_contrib_i8(
     rdims = (tuple(int(d) for d in dims) if dims is not None
              else V8.shape)
     YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid)
+    flip = bool(use_pallas and packed and transposed)
     PM, BV = fused_pair_contract_i8(V8, YZ8, Z8, focus_axis,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    flip_out=flip)
     return fused_finish_i8(PM, BV, s_yz, s_z, partner.shape[-1],
                            out_dtype, scale, shift, mean, packed=packed,
                            transposed=transposed,
                            n_focus=rdims[focus_axis],
-                           ridge_deg=ridge_deg)
+                           ridge_deg=ridge_deg,
+                           pre_transposed=flip)
 
 
 def int8_pair_ok(idx: np.ndarray, shape: Sequence[int]) -> bool:

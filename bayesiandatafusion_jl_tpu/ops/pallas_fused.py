@@ -46,7 +46,7 @@ _VMEM_BUDGET = 12_000_000  # bytes; c=3584 at Netflix scale (14 MB) OOMs
 
 
 def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
-                         granule: int) -> int:
+                         granule: int, out_bufs: int = 1) -> int:
     """Largest ``granule``-multiple divisor of ``n_contract`` (<= 4096)
     whose per-step VMEM footprint — double-buffered int8 input blocks
     plus the resident int32 output tile — fits the budget.
@@ -55,12 +55,15 @@ def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
     pays a VPU read-modify-write accumulate: ~560 VPU cycles against
     ~2.3 dot-cycles per contracted element at CK=592, so bc=512 costs
     ~24% and bc=2560 ~5%.  Netflix-scale probe (r3s3, n1=17920):
-    bc=512 -> 50.3 ms / 203 TOP/s, bc=2560 -> 39.7 ms / 257 TOP/s."""
+    bc=512 -> 50.3 ms / 203 TOP/s, bc=2560 -> 39.7 ms / 257 TOP/s.
+
+    ``out_bufs=2`` models the flip_out focus-rows kernel, whose natural-
+    orientation scratch accumulator doubles the resident output bytes."""
     best = 0
     for d in range(granule, min(n_contract, 4096) + 1, granule):
         if n_contract % d:
             continue
-        vmem = 2 * (bf * d + d * (ck + k)) + 4 * bf * (ck + k)
+        vmem = 2 * (bf * d + d * (ck + k)) + out_bufs * 4 * bf * (ck + k)
         if vmem <= _VMEM_BUDGET:
             best = d
     return best
@@ -98,6 +101,112 @@ def _kern_focus_cols_i8(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
                              preferred_element_type=jnp.int32)
     bv = jax.lax.dot_general(w8, z_ref[...], dn,
                              preferred_element_type=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(i > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
+def _kern_focus_rows_i8_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref,
+                          pm_acc, bv_acc):
+    """flip_out variant of :func:`_kern_focus_rows_i8`: the MXU dots stay
+    in their natural orientation, accumulate into a VMEM scratch, and ONE
+    in-register transpose per focus block at the last contraction step
+    writes the [ck, bf] output tile — the kernel-layout emission that
+    deletes the downstream [N, C] -> [C, N] HBM transpose pass
+    (VERDICT r3 #3: ~2 GB/sweep of pure traffic at Netflix scale)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    pm = jnp.dot(m, yz_ref[...], preferred_element_type=jnp.int32)
+    bv = jnp.dot(w8, z_ref[...], preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        pm_acc[...] = pm
+        bv_acc[...] = bv
+
+    @pl.when(j > 0)
+    def _():
+        pm_acc[...] = pm_acc[...] + pm
+        bv_acc[...] = bv_acc[...] + bv
+
+    @pl.when(j == nj - 1)
+    def _():
+        pm_ref[...] = pm_acc[...].T
+        bv_ref[...] = bv_acc[...].T
+
+
+def _kern_focus_cols_i8_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
+    """flip_out variant of :func:`_kern_focus_cols_i8`: the [ck, bf]
+    output orientation falls out of swapping the dot operands (both
+    contract dim 0) — no transpose anywhere."""
+    i = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    dn = (((0,), (0,)), ((), ()))
+    pm = jax.lax.dot_general(yz_ref[...], m, dn,
+                             preferred_element_type=jnp.int32)
+    bv = jax.lax.dot_general(z_ref[...], w8, dn,
+                             preferred_element_type=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        pm_ref[...] = pm
+        bv_ref[...] = bv
+
+    @pl.when(i > 0)
+    def _():
+        pm_ref[...] = pm_ref[...] + pm
+        bv_ref[...] = bv_ref[...] + bv
+
+
+def _kern_focus_rows_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref,
+                       pm_acc, bv_acc, *, op_dtype):
+    """float flip_out focus-rows kernel (same scratch-transpose scheme as
+    the i8 variant, f32 accumulation)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(op_dtype)
+    w = w8.astype(op_dtype)
+    pm = jnp.dot(m, yz_ref[...], preferred_element_type=jnp.float32)
+    bv = jnp.dot(w, z_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        pm_acc[...] = pm
+        bv_acc[...] = bv
+
+    @pl.when(j > 0)
+    def _():
+        pm_acc[...] = pm_acc[...] + pm
+        bv_acc[...] = bv_acc[...] + bv
+
+    @pl.when(j == nj - 1)
+    def _():
+        pm_ref[...] = pm_acc[...].T
+        bv_ref[...] = bv_acc[...].T
+
+
+def _kern_focus_cols_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
+    """float flip_out focus-cols kernel (operand-swapped dots)."""
+    i = pl.program_id(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(op_dtype)
+    w = w8.astype(op_dtype)
+    dn = (((0,), (0,)), ((), ()))
+    pm = jax.lax.dot_general(yz_ref[...], m, dn,
+                             preferred_element_type=jnp.float32)
+    bv = jax.lax.dot_general(z_ref[...], w, dn,
+                             preferred_element_type=jnp.float32)
 
     @pl.when(i == 0)
     def _():
@@ -151,11 +260,18 @@ def _kern_focus_cols(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
         bv_ref[...] = bv_ref[...] + bv
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
                       focus_axis: int, pref_f: int = 1024,
-                      pref_c: int | None = None):
-    """(PM [n_focus, CK], BV [n_focus, K]) from the stored int8 array.
+                      pref_c: int | None = None, flip_out: bool = False):
+    """(PM [n_focus, CK], BV [n_focus, K]) from the stored int8 array —
+    or, with ``flip_out=True``, the KERNEL layout (PM [CK, n_focus],
+    BV [K, n_focus]) the packed Cholesky sampler consumes directly, so
+    the caller never pays the [N, C] -> [C, N] XLA transpose pass
+    (VERDICT r3 #3).  Focus-cols emits it by swapping the dot operands
+    (free); focus-rows accumulates naturally in VMEM scratch and
+    transposes each output tile once, in-register, at the last
+    contraction step.
 
     ``YZ [n_contract, C+K]`` and ``Z [n_contract, K]`` are the partner
     tables, where the contract axis is ``V8.shape[1 - focus_axis]``.  All
@@ -187,14 +303,40 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     out_dt = jnp.int32 if int8 else jnp.float32
     if focus_axis == 0:
         bf = _pick_block(n0, pref_f, 8)
-        bc = (_auto_contract_block(n1, bf, ck, k, 128) if pref_c is None
-              else _pick_block(n1, pref_c, 128))
+        bc = (_auto_contract_block(n1, bf, ck, k, 128,
+                                   out_bufs=2 if flip_out else 1)
+              if pref_c is None else _pick_block(n1, pref_c, 128))
         if not bc:
             bc = _pick_block(n1, 512, 128)
         assert bf and bc, (V8.shape, "not blockable")
         grid = (n0 // bf, n1 // bc)
-        kern = (_kern_focus_rows_i8 if int8 else
-                functools.partial(_kern_focus_rows, op_dtype=op_dtype))
+        if flip_out:
+            kern = (_kern_focus_rows_i8_t if int8 else
+                    functools.partial(_kern_focus_rows_t,
+                                      op_dtype=op_dtype))
+            out_specs = [
+                pl.BlockSpec((ck, bf), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bf), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [jax.ShapeDtypeStruct((ck, n0), out_dt),
+                         jax.ShapeDtypeStruct((k, n0), out_dt)]
+            scratch = [pltpu.VMEM((bf, ck), out_dt),
+                       pltpu.VMEM((bf, k), out_dt)]
+        else:
+            kern = (_kern_focus_rows_i8 if int8 else
+                    functools.partial(_kern_focus_rows,
+                                      op_dtype=op_dtype))
+            out_specs = [
+                pl.BlockSpec((bf, ck), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bf, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            out_shape = [jax.ShapeDtypeStruct((n0, ck), out_dt),
+                         jax.ShapeDtypeStruct((n0, k), out_dt)]
+            scratch = []
         return pl.pallas_call(
             kern,
             grid=grid,
@@ -206,14 +348,9 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
                 pl.BlockSpec((bc, k), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((bf, ck), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bf, k), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[jax.ShapeDtypeStruct((n0, ck), out_dt),
-                       jax.ShapeDtypeStruct((n0, k), out_dt)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
         )(V8, YZ, Z)
@@ -225,8 +362,28 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
         bc = _pick_block(n0, 1024, 8)
     assert bf and bc, (V8.shape, "not blockable")
     grid = (n1 // bf, n0 // bc)
-    kern = (_kern_focus_cols_i8 if int8 else
-            functools.partial(_kern_focus_cols, op_dtype=op_dtype))
+    if flip_out:
+        kern = (_kern_focus_cols_i8_t if int8 else
+                functools.partial(_kern_focus_cols_t, op_dtype=op_dtype))
+        out_specs = [
+            pl.BlockSpec((ck, bf), lambda jf, i: (0, jf),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bf), lambda jf, i: (0, jf),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((ck, n1), out_dt),
+                     jax.ShapeDtypeStruct((k, n1), out_dt)]
+    else:
+        kern = (_kern_focus_cols_i8 if int8 else
+                functools.partial(_kern_focus_cols, op_dtype=op_dtype))
+        out_specs = [
+            pl.BlockSpec((bf, ck), lambda jf, i: (jf, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, k), lambda jf, i: (jf, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((n1, ck), out_dt),
+                     jax.ShapeDtypeStruct((n1, k), out_dt)]
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -238,14 +395,8 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
             pl.BlockSpec((bc, k), lambda jf, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((bf, ck), lambda jf, i: (jf, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bf, k), lambda jf, i: (jf, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((n1, ck), out_dt),
-                   jax.ShapeDtypeStruct((n1, k), out_dt)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )(V8, YZ, Z)

@@ -249,6 +249,78 @@ def test_fused_pair_pallas_matches_numpy(focus_axis, monkeypatch):
     np.testing.assert_allclose(np.asarray(BV), W @ Z, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("focus_axis", [0, 1])
+def test_fused_pair_pallas_flip_out(focus_axis, monkeypatch):
+    """flip_out emits the kernel layout [CK, n_focus] with values equal
+    to the natural orientation's transpose — float and exact-int8 modes
+    (the latter bit for bit)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from bayesiandatafusion_jl_tpu.ops.pallas_fused import fused_pair_pallas
+
+    rng = np.random.default_rng(37 + focus_axis)
+    n0, n1, CK, K = 64, 256, 21, 5
+    V8 = np.where(rng.random((n0, n1)) < 0.1,
+                  rng.integers(1, 6, (n0, n1)), 0).astype(np.int8)
+    nc = n1 if focus_axis == 0 else n0
+    YZ = rng.standard_normal((nc, CK)).astype(np.float32)
+    Z = rng.standard_normal((nc, K)).astype(np.float32)
+    PM, BV = fused_pair_pallas(jnp.asarray(V8), jnp.asarray(YZ),
+                               jnp.asarray(Z), focus_axis)
+    PMt, BVt = fused_pair_pallas(jnp.asarray(V8), jnp.asarray(YZ),
+                                 jnp.asarray(Z), focus_axis,
+                                 flip_out=True)
+    # float path: the compiler may fold the in-kernel transpose into the
+    # dot (different f32 reduction order) — tolerance, not bitwise
+    np.testing.assert_allclose(np.asarray(PMt), np.asarray(PM).T,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(BVt), np.asarray(BV).T,
+                               rtol=1e-5, atol=1e-5)
+    YZ8 = rng.integers(-127, 128, (nc, CK)).astype(np.int8)
+    Z8 = rng.integers(-127, 128, (nc, K)).astype(np.int8)
+    PM8, BV8 = fused_pair_pallas(jnp.asarray(V8), jnp.asarray(YZ8),
+                                 jnp.asarray(Z8), focus_axis)
+    PM8t, BV8t = fused_pair_pallas(jnp.asarray(V8), jnp.asarray(YZ8),
+                                   jnp.asarray(Z8), focus_axis,
+                                   flip_out=True)
+    np.testing.assert_array_equal(np.asarray(PM8t), np.asarray(PM8).T)
+    np.testing.assert_array_equal(np.asarray(BV8t), np.asarray(BV8).T)
+
+
+def test_fused_i8_flip_finish_matches(monkeypatch):
+    """fused_gram_contrib_i8 with (packed, transposed) through the
+    flip_out kernel must equal the fallback's transposed finish exactly
+    (same int32 sums, same dequant) — interpret mode."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(67)
+    n0, n1, K = 64, 256, 4
+    lin = rng.choice(n0 * n1, 900, replace=False)
+    idx = np.stack([lin // n1, lin % n1], 1)
+    vals = rng.integers(1, 6, 900).astype(np.float64)
+    mean = float(vals.mean())
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    V8 = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    for focus_axis in (0, 1):
+        n_partner = n1 if focus_axis == 0 else n0
+        U = rng.standard_normal((n_partner, K))
+        outs = []
+        for up in (True, False):
+            Pt, bt = dg.fused_gram_contrib_i8(
+                jnp.asarray(V8), jnp.asarray(U), focus_axis,
+                jnp.float32, s, m, mean, packed=True, transposed=True,
+                use_pallas=up)
+            outs.append((np.asarray(Pt), np.asarray(bt)))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        np.testing.assert_array_equal(outs[0][1], outs[1][1])
+
+
 def test_device_build_chunked_matches_host(monkeypatch):
     """The chunked device scatter (TPU index-pad workaround) must equal the
     host build bit-for-bit, including OOB-dropped pad entries and the
