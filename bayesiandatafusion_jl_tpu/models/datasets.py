@@ -24,6 +24,38 @@ _ML_SHAPES = {
     "10m": (71567, 10681, 10_000_054),
 }
 
+# filenames that count as a dropped-in real ratings file (the standing
+# BASELINE.md data request to the driver) — checked in .cache/ and one
+# directory level below it (ml-100k/u.data etc.)
+_REAL_RATINGS_NAMES = ("ratings.dat", "u.data", "ratings.csv",
+                       "ratings.txt")
+
+
+def find_real_ratings(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Path of a real MovieLens-family ratings file under ``.cache/``,
+    or None.  The landing pad for the real-data north-star validation
+    (VERDICT r3 #5): the day a file lands, ``bench.py`` benches on it
+    with no env var needed and ``tests/test_realdata.py`` un-skips."""
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".cache")
+    if not os.path.isdir(cache_dir):
+        return None
+    for name in _REAL_RATINGS_NAMES:
+        p = os.path.join(cache_dir, name)
+        if os.path.isfile(p):
+            return p
+    for sub in sorted(os.listdir(cache_dir)):
+        d = os.path.join(cache_dir, sub)
+        if not os.path.isdir(d):
+            continue
+        for name in _REAL_RATINGS_NAMES:
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                return p
+    return None
+
 
 def load_movielens(variant: str = "100k",
                    path: Optional[str] = None,

@@ -108,6 +108,14 @@ def _ml_engine(variant, sweeps, sharded=False):
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".cache", f"ml{variant}.npz")
     path = os.environ.get("BENCH_DATA")  # real ratings file, if provided
+    if not path:
+        # auto-discover a dropped-in real ratings file (VERDICT r3 #5:
+        # zero builder turnaround the day the data request is met)
+        from bayesiandatafusion_jl_tpu.models.datasets import \
+            find_real_ratings
+        path = find_real_ratings()
+        if path:
+            print(f"# REAL ratings file detected: {path}", file=sys.stderr)
     if path:
         df = load_movielens(variant, path=path)
     elif os.path.exists(cache):
@@ -133,14 +141,14 @@ def _ml_engine(variant, sweeps, sharded=False):
         # scheduling pathology (23.1 vs 20.4 ms/sweep at ML-10M mesh=1);
         # the sharded engine keeps one dispatch per sweep
         cfg = dataclasses.replace(cfg, sweeps_per_dispatch=1)
-        return ShardedMacauEngine(rd, cfg, mesh=data_mesh()), df
-    return MacauEngine(rd, cfg), df
+        return ShardedMacauEngine(rd, cfg, mesh=data_mesh()), df, path
+    return MacauEngine(rd, cfg), df, path
 
 
 def bench_ml(variant, sweeps, sharded=False):
     warm = _warm_async()
     t0 = time.time()
-    eng, df = _ml_engine(variant, sweeps, sharded=sharded)
+    eng, df, real = _ml_engine(variant, sweeps, sharded=sharded)
     print(f"# data+layout build: {time.time()-t0:.1f}s "
           f"(nnz={df.nnz}, shape={df.shape})", file=sys.stderr)
     warm.join()
@@ -148,7 +156,8 @@ def bench_ml(variant, sweeps, sharded=False):
     dt, m = _time_engine(eng, sweeps, f"ml{variant}{' sharded' if sharded else ''}")
     n_rows = sum(es.n for es in eng.problem.entity_specs)
     rmse = m.get("rmse_at_sweeps", m["r0.rmse_sample"])
-    _emit(f"{tag}rows_sampled_per_s_per_chip (ML-{variant} rank 32; "
+    src = "REAL data" if real else "synthetic"
+    _emit(f"{tag}rows_sampled_per_s_per_chip (ML-{variant} rank 32, {src}; "
           f"sweeps/s={1/dt:.3f}, rmse_sample@{sweeps}={rmse:.4f}, "
           f"rmse_avg={m['r0.rmse_avg']:.4f})", n_rows / dt,
           dt=dt, m=m, flops=eng.problem.flops_per_sweep())
