@@ -25,35 +25,84 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Gathered-block transient budget: the [rows, W, K] partner gather pads
+# its K-minor dim to 128 lanes on TPU, so a 100M-nnz bucket set tiles to
+# ~20 GB > HBM ("the gather wall CANNOT RUN", r3).  Buckets whose gather
+# transient exceeds this are processed in ROW CHUNKS — each row's
+# W-reduction stays inside one chunk, so chunking is BIT-IDENTICAL to
+# the unchunked einsum (oracle equivalence preserved exactly).  4 GB
+# leaves every existing config (ML-10M: ~3.2 GB) on the one-shot path.
+_GATHER_CHUNK_BYTES = 4e9
+
+
 def bucket_gramian(
     partner_factors: Sequence[jax.Array],  # (arity-1) x [N_d, K]
     part: Sequence[jax.Array],             # (arity-1) x [rows, W] int32
     val: jax.Array,                        # [rows, W]
     mask: jax.Array,                       # [rows, W]
     gram_dtype=None,                       # e.g. jnp.bfloat16: halve gather
+    max_gather_bytes: float = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Per-row Gramian and rhs contribution of one bucket (without alpha).
 
     Returns (P [rows, K, K], b [rows, K]).  With ``gram_dtype=bfloat16``
     the gathered partner rows move at half the HBM traffic and the MXU
     contracts in bf16 with f32 accumulation (XLA CSEs the one-time factor
-    cast across buckets).
+    cast across buckets).  Buckets over the gather-transient budget run
+    chunked (see _GATHER_CHUNK_BYTES) — arbitrary-scale relations,
+    including arity >= 3 at 100M+ nnz, now RUN on this path instead of
+    exceeding HBM.
     """
     out_dtype = val.dtype
     if gram_dtype is not None:
         partner_factors = [U.astype(gram_dtype) for U in partner_factors]
-    # promise_in_bounds skips gather bounds checks (~10% on TPU); layout
-    # indices are validated at build time
-    z = partner_factors[0].at[part[0]].get(
-        mode="promise_in_bounds")                      # [rows, W, K]
-    for U, p in zip(partner_factors[1:], part[1:]):
-        z = z * U.at[p].get(mode="promise_in_bounds")  # Hadamard (tensors)
-    zm = z * mask[..., None].astype(z.dtype)
-    P = jnp.einsum("rwk,rwl->rkl", zm, zm,
-                   preferred_element_type=out_dtype)
-    b = jnp.einsum("rwk,rw->rk", zm, val.astype(z.dtype),
-                   preferred_element_type=out_dtype)
-    return P, b
+    budget = (_GATHER_CHUNK_BYTES if max_gather_bytes is None
+              else max_gather_bytes)
+    rows, W = val.shape
+    K = partner_factors[0].shape[-1]
+    itemsize = jnp.dtype(partner_factors[0].dtype).itemsize
+    lanes = -(-K // 128) * 128              # TPU minor-dim tile padding
+    transient = float(rows) * W * lanes * itemsize * len(partner_factors)
+
+    def block(parts_b, val_b, mask_b):
+        # promise_in_bounds skips gather bounds checks (~10% on TPU);
+        # layout indices are validated at build time
+        z = partner_factors[0].at[parts_b[0]].get(
+            mode="promise_in_bounds")                      # [r, W, K]
+        for U, p in zip(partner_factors[1:], parts_b[1:]):
+            z = z * U.at[p].get(mode="promise_in_bounds")  # Hadamard
+        zm = z * mask_b[..., None].astype(z.dtype)
+        P = jnp.einsum("rwk,rwl->rkl", zm, zm,
+                       preferred_element_type=out_dtype)
+        b = jnp.einsum("rwk,rw->rk", zm, val_b.astype(z.dtype),
+                       preferred_element_type=out_dtype)
+        return P, b
+
+    if transient <= budget or rows <= 1:
+        return block(part, val, mask)
+    n_chunks = min(int(np.ceil(transient / budget)), rows)
+    cr = -(-rows // n_chunks)
+    full = rows // cr
+    rem = rows - full * cr
+
+    def step(start, size, acc):
+        P_acc, b_acc = acc
+        parts_b = [jax.lax.dynamic_slice_in_dim(p, start, size, 0)
+                   for p in part]
+        val_b = jax.lax.dynamic_slice_in_dim(val, start, size, 0)
+        mask_b = jax.lax.dynamic_slice_in_dim(mask, start, size, 0)
+        P, b = block(parts_b, val_b, mask_b)
+        return (jax.lax.dynamic_update_slice_in_dim(P_acc, P, start, 0),
+                jax.lax.dynamic_update_slice_in_dim(b_acc, b, start, 0))
+
+    acc = (jnp.zeros((rows, K, K), out_dtype),
+           jnp.zeros((rows, K), out_dtype))
+    if full:
+        acc = jax.lax.fori_loop(0, full,
+                                lambda i, a: step(i * cr, cr, a), acc)
+    if rem:
+        acc = step(full * cr, rem, acc)
+    return acc
 
 
 def assemble_precision(

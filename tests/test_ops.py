@@ -249,3 +249,28 @@ def test_nystrom_precond_same_solution():
     # measured on this skewed system: comparable counts (85 vs 75); the
     # knob is opt-in for spectra with a heavy correlated head
     assert int(it_n) < int(it_j) * 1.5, (int(it_n), int(it_j))
+
+
+def test_bucket_gramian_chunked_bitwise():
+    """Row-chunked bucket_gramian (the arbitrary-scale gather path) must
+    equal the one-shot einsum exactly: every row's W-reduction stays
+    inside one chunk, so no reduction order changes."""
+    from bayesiandatafusion_jl_tpu.ops.gramian import bucket_gramian
+    rng = np.random.default_rng(3)
+    rows, W, K, Np = 37, 8, 4, 50
+    U = jnp.asarray(rng.standard_normal((Np, K)))
+    V = jnp.asarray(rng.standard_normal((Np + 9, K)))
+    val = jnp.asarray(rng.standard_normal((rows, W)))
+    mask = jnp.asarray((rng.random((rows, W)) < 0.8).astype(np.float64))
+    # arity 2 and arity 3 (Hadamard partner product)
+    for partners, parts in [
+        ([U], [jnp.asarray(rng.integers(0, Np, (rows, W)).astype(np.int32))]),
+        ([U, V], [jnp.asarray(rng.integers(0, Np, (rows, W)).astype(np.int32)),
+                  jnp.asarray(rng.integers(0, Np + 9, (rows, W)).astype(np.int32))]),
+    ]:
+        P1, b1 = bucket_gramian(partners, parts, val, mask)
+        # budget of 1000 bytes forces many chunks incl. a ragged tail
+        P2, b2 = bucket_gramian(partners, parts, val, mask,
+                                max_gather_bytes=1000.0)
+        np.testing.assert_array_equal(np.asarray(P1), np.asarray(P2))
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
