@@ -744,7 +744,10 @@ class MacauEngine(GibbsDriverMixin):
             # half the P HBM into the kernel.  Bit-identical to the
             # expand+full path (same values, same accumulation order;
             # ops/pallas_chol.chol_sample_packed*).
-            if (fuse and K <= 96 and dense_contribs and not contribs
+            # (hybrid fused relations add their gather-path residual
+            # buckets via packed_bucket_accum below, so `contribs` no
+            # longer disables the packed path when dense modes exist)
+            if (fuse and K <= 96 and dense_contribs
                     and cfg.accumulation != "planned"):
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
                 # Packed-layout orientation is a PER-MODE preference
@@ -789,6 +792,19 @@ class MacauEngine(GibbsDriverMixin):
                         Pp_acc = (alpha * P_p if Pp_acc is None
                                   else Pp_acc + alpha * P_p)
                         b_acc = b_acc + alpha * b_d
+                if contribs:
+                    # hybrid residual (exact-valued gather buckets),
+                    # accumulated in the packed layout
+                    from ..ops.gramian import packed_bucket_accum
+                    with jax.named_scope("residual"):
+                        Pp_r, b_r = packed_bucket_accum(
+                            contribs, es.n, K, gram_dtype=gd)
+                        if trans:
+                            Pp_acc = Pp_acc + Pp_r.astype(Pp_acc.dtype).T
+                            b_acc = b_acc + b_r.astype(b_acc.dtype).T
+                        else:
+                            Pp_acc = Pp_acc + Pp_r.astype(Pp_acc.dtype)
+                            b_acc = b_acc + b_r.astype(b_acc.dtype)
                 ent["U"] = chol_sample_packed_dispatch(
                     Pp_acc, b_acc, randoms[f"e{ei}.xi"], Lambda,
                     cfg.chol_jitter, transposed=trans)

@@ -149,6 +149,36 @@ def assemble_precision(
     return P_acc, b_acc
 
 
+def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
+    """Packed-triangle accumulation of bucket contributions: (Pp [n, C],
+    b [n, K]) with C = K(K+1)/2.
+
+    Lets the packed fast path accept gather contributions — the hybrid
+    fused relations' exact-valued residual buckets (r4) — without
+    falling back to the full [n, K, K] accumulators (which at Netflix
+    scale adds ~6 GB of persistent arrays and OOMs next to the 8.6 GB
+    V8).  ``bucket_gramian``'s P is bitwise symmetric (commuting
+    products, same w-reduction), so taking the upper triangle is exact.
+    Returns (None, None) when ``contribs`` is empty.
+    """
+    if not contribs:
+        return None, None
+    iu, ju = np.triu_indices(K)
+    sel = jnp.asarray((iu * K + ju).astype(np.int32))
+    Pp = None
+    b_acc = None
+    for alpha, partner_factors, ba in contribs:
+        P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
+                              ba["mask"], gram_dtype=gram_dtype)
+        rows = P.shape[0]
+        Pp_rows = jnp.take(P.reshape(rows, K * K), sel, axis=1)
+        segP = jax.ops.segment_sum(Pp_rows, ba["inst"], num_segments=n)
+        segb = jax.ops.segment_sum(b, ba["inst"], num_segments=n)
+        Pp = alpha * segP if Pp is None else Pp + alpha * segP
+        b_acc = alpha * segb if b_acc is None else b_acc + alpha * segb
+    return Pp, b_acc
+
+
 def plan_accumulation(inst_arrays: Sequence[np.ndarray], n: int):
     """Compile-time plan replacing the runtime scatter (host-side NumPy).
 

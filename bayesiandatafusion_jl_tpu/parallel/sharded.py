@@ -1073,14 +1073,34 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         # ghost-fold machinery is structurally idle when this fires.
         packed_P = None
         if (use_pallas_chol(cfg) and K <= 96 and dense_contribs
-                and not contribs and not meta.n_head
+                and not meta.n_head
                 and cfg.accumulation != "planned"):
-            # kernel-layout accumulation (mirrors models/engine.py):
-            # Pp [C, n_loc], b [K, n_loc] from the flipped einsums — except
-            # with fused contributions, whose flipped masked dot runs 2.5x
-            # slower (r3 probe): those keep the natural [n_loc, C] layout
-            packed_trans = not any(p.kind == "fused"
-                                   for *_r, p in dense_contribs)
+            # Packed-layout orientation is a PER-MODE preference here
+            # too (r4 microbench at ML-10M shapes, mesh=1):
+            #   slab [69878, 10677] (focus >> partner): flip 3.57 ms
+            #     vs natural ~8 — flipped output wins
+            #   slab [10677, 69878] (focus << partner): natural 5.03
+            #     vs flip 6.79 — natural wins
+            # i.e. the flipped [C, n_loc] output pays off exactly when
+            # the LOCAL focus extent dominates the partner extent.  The
+            # sharded engine used a cruder always-flip rule and lost
+            # 1.8 ms/sweep on the small-focus mode (the r3 mesh=1
+            # regression to 84% of plain).  Fused contributions keep the
+            # natural preference (their sharded contraction is the XLA
+            # chunked fallback, whose flipped masked dot is 2.5x
+            # slower).  All of one entity's contributions share the
+            # accumulator layout, so choose by cell-weighted majority
+            # (mirrors models/engine.py's vote).
+            vote = 0.0
+            for _a, _p, _ri, _mode, dims_sh_, plan_ in dense_contribs:
+                cells = float(np.prod(dims_sh_))
+                if plan_.kind == "fused":
+                    prefers = False
+                else:
+                    prefers = (float(dims_sh_[0])
+                               >= float(np.prod(dims_sh_[1:])))
+                vote += cells if prefers else -cells
+            packed_trans = vote > 0.0
             b_acc = (jnp.einsum("nk,kj->jn", prior_mean, Lambda)
                      if packed_trans else
                      jnp.einsum("nk,kj->nj", prior_mean, Lambda))
@@ -1103,6 +1123,21 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                     packed_P = (alpha * P_p if packed_P is None
                                 else packed_P + alpha * P_p)
                     b_acc = b_acc + alpha * b_d
+            if contribs:
+                # hybrid residual buckets (exact values), packed so the
+                # fast path survives Netflix-scale hybrids (the full
+                # [n, K, K] fallback added ~6 GB next to V8 and OOMed)
+                from ..ops.gramian import packed_bucket_accum
+                with jax.named_scope("residual"):
+                    Pp_r, b_r = packed_bucket_accum(
+                        contribs, meta.n_loc, K, gram_dtype=gd)
+                    if packed_trans:
+                        packed_P = packed_P + Pp_r.astype(packed_P.dtype).T
+                        b_acc = b_acc + b_r.astype(b_acc.dtype).T
+                    else:
+                        packed_P = packed_P + Pp_r.astype(packed_P.dtype)
+                        b_acc = b_acc + b_r.astype(b_acc.dtype)
+                contribs = []
             dense_contribs = []
         elif meta.n_head:
             # head-entity splitting (SURVEY §7.7): ghost slots accumulate
