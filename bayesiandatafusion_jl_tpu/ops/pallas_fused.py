@@ -46,7 +46,8 @@ _VMEM_BUDGET = 12_000_000  # bytes; c=3584 at Netflix scale (14 MB) OOMs
 
 
 def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
-                         granule: int, out_bufs: int = 1) -> int:
+                         granule: int, out_bufs: int = 1,
+                         swap_scratch: bool = False) -> int:
     """Largest ``granule``-multiple divisor of ``n_contract`` (<= 4096)
     whose per-step VMEM footprint — double-buffered int8 input blocks
     plus the resident int32 output tile — fits the budget.
@@ -58,12 +59,20 @@ def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
     bc=512 -> 50.3 ms / 203 TOP/s, bc=2560 -> 39.7 ms / 257 TOP/s.
 
     ``out_bufs=2`` models the flip_out focus-rows kernel, whose natural-
-    orientation scratch accumulator doubles the resident output bytes."""
+    orientation scratch accumulator doubles the resident output bytes
+    (plus Mosaic's transpose working space, ~4*bf*(ck+k)).
+    ``swap_scratch`` models the flip_out focus-cols kernel: its operand-
+    swapped dot_general contracts dim 0 of BOTH operands, and Mosaic
+    stages in-register transposed copies (~bc*(bf+ck+k) bytes of scoped
+    stack).  Without this term the engine program sat 44 KB over the
+    16 MB scoped-vmem limit and failed to compile (r4 probe)."""
     best = 0
     for d in range(granule, min(n_contract, 4096) + 1, granule):
         if n_contract % d:
             continue
         vmem = 2 * (bf * d + d * (ck + k)) + out_bufs * 4 * bf * (ck + k)
+        if swap_scratch:
+            vmem += d * (bf + ck + k)
         if vmem <= _VMEM_BUDGET:
             best = d
     return best
@@ -356,7 +365,13 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
         )(V8, YZ, Z)
     bf = _pick_block(n1, min(pref_f, 512), 128)   # focus columns: bf=512
     # measured best (bigger strided column blocks alias HBM channels)
-    bc = (_auto_contract_block(n0, bf, ck, k, 512) if pref_c is None
+    # granule 256 (not 512) when flip_out shrinks the feasible set: at
+    # netflix shapes the swap-scratch term rejects bc=3584 and granule
+    # 512's next divisor is 1024; 256 admits 1792 (fewer accumulates)
+    bc = (_auto_contract_block(n0, bf, ck, k,
+                               256 if flip_out else 512,
+                               swap_scratch=flip_out)
+          if pref_c is None
           else _pick_block(n0, pref_c, 8))        # contraction rows
     if not bc:
         bc = _pick_block(n0, 1024, 8)
