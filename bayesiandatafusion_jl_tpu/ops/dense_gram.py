@@ -420,13 +420,44 @@ def fused_pair_plan(idx: np.ndarray, vals: np.ndarray,
     if s is None:
         if tol is None or not np.isfinite(tol) or tol <= 0:
             return None
-        # finest uniform grid whose rounded span fits 255 levels (<= 254
-        # after rint of the endpoints); decline if its error exceeds tol
+        # Uniform grids, finest first: the finest in-tol grid minimizes
+        # rounding error but its feasible shift window (|e| <= 127 from
+        # BOTH ends) sits at the level-range CENTER — usually the
+        # DENSEST region of real data, so its zero-code residual can be
+        # large (netflix_cont: the 3-star peak, ~500k observations whose
+        # gather machinery pushed the engine past HBM).  Coarser in-tol
+        # grids widen the window; the first one with an UNUSED feasible
+        # level gets a ZERO residual.  Candidates are decided from
+        # (vals, tol) alone — engine-invariant.
         rng_v = float(d[-1] - d[0])
-        s = (rng_v / 253.0 if rng_v > 0
-             else (abs(float(d[0])) if d[0] != 0 else 1.0))
-        if s / 2.0 > tol:
-            return None
+        if rng_v <= 0:
+            s = abs(float(d[0])) if d[0] != 0 else 1.0
+            if s / 2.0 > tol:
+                return None
+        else:
+            l_min = max(2, int(np.ceil(rng_v / (2.0 * tol))))
+            if l_min > 253:
+                return None
+            cand = sorted({max(l_min, int(253 * f))
+                           for f in (1.0, 0.97, 0.93, 0.88, 0.82, 0.75,
+                                     0.65, 0.5, 0.35, 0.2)},
+                          reverse=True)
+            cand = [L for L in cand if L >= l_min]
+            s = rng_v / cand[0]
+            for L in cand:
+                sc = rng_v / L
+                qc = np.rint(d / sc).astype(np.int64)
+                lo_c, hi_c = int(qc.min()), int(qc.max())
+                if hi_c - lo_c > 254:
+                    continue
+                w_lo, w_hi = hi_c - 127, lo_c + 127
+                if w_lo > w_hi:
+                    continue
+                window = np.arange(w_lo, w_hi + 1)
+                free = window[~np.isin(window, qc)]
+                if free.size:
+                    s = sc
+                    break
     qi = np.rint(d / s).astype(np.int64)
     lo, hi = int(qi.min()), int(qi.max())
     if hi - lo > 254:
@@ -444,6 +475,15 @@ def fused_pair_plan(idx: np.ndarray, vals: np.ndarray,
                 best_used = (m, emax)
         elif best_free is None or emax < best_free[1]:
             best_free = (m, emax)
+    if best_free is None and best_used is not None:
+        # every feasible level is occupied: minimize the RESIDUAL (the
+        # observation count at the zero-code level), not |e| range —
+        # ties break to the lowest m (argmin), deterministically
+        w_lo, w_hi = max(hi - 127, lo), min(lo + 127, hi)
+        full = np.bincount(np.rint(v64 / s).astype(np.int64) - lo,
+                           minlength=hi - lo + 1)
+        counts = full[w_lo - lo:w_hi - lo + 1]
+        best_used = (w_lo + int(np.argmin(counts)), 0)
     best = best_free if best_free is not None else best_used
     if best is None:
         return None
