@@ -921,7 +921,8 @@ class MacauEngine(GibbsDriverMixin):
             st["M"], st["W"], partners, mode, dims, dtype, mdt,
             packed=packed, transposed=transposed,
             w_scale=self.problem.dense_w_scale.get(ri),
-            ridge_deg=st.get(f"deg_m{mode}"))
+            ridge_deg=st.get(f"deg_m{mode}"),
+            quant_pallas=self.problem.fused_pallas)
 
     def _sample_beta(self, arrays, ent, es: EntitySpec, ei: int, randoms):
         """Noise-injected exact Gibbs draw of beta (SURVEY §4.4)."""

@@ -785,7 +785,8 @@ def fused_abs_codes(vals: np.ndarray, s: float, m: int) -> np.ndarray:
     return np.abs(np.rint(np.asarray(vals, np.float64) / s) - m)
 
 
-def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None):
+def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None,
+                   use_pallas: bool = False):
     """Per-sweep int8 quantization of the fused path's partner operands.
 
     Mirrors the pair path's scheme (:func:`_quantize_cols`: per-OUTPUT-
@@ -798,8 +799,18 @@ def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None):
     Column-max scales are permutation-invariant over the row set, so the
     sharded engine's permuted-layout tables quantize to row-permuted but
     otherwise BITWISE-identical operands (``n_valid`` excludes pad rows,
-    whose latents are prior draws)."""
+    whose latents are prior draws).
+
+    ``use_pallas`` routes through the fused triangle-quantize kernel
+    (ops/pallas_ytab.py) — bitwise-identical output, ~4x less HBM
+    traffic (the [N, C] f32 table stays in registers)."""
     K = partner.shape[-1]
+    if use_pallas and K <= 64:
+        from .pallas_ytab import ytab_quantize_pallas
+        YZ8, s_yz = ytab_quantize_pallas(partner.astype(jnp.float32),
+                                         n_valid)
+        C = YZ8.shape[1] - K
+        return YZ8, YZ8[:, C:], s_yz, s_yz[C:]
     iu, ju, _ = _tri_maps(K)
     Uf = partner.astype(jnp.float32)
     Y8, sY = _quantize_cols(Uf[:, iu] * Uf[:, ju], n_valid)
@@ -954,7 +965,8 @@ def fused_gram_contrib_i8(
     Eligibility (:func:`fused_int8_ok`) is the caller's contract."""
     rdims = (tuple(int(d) for d in dims) if dims is not None
              else V8.shape)
-    YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid)
+    YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid,
+                                        use_pallas=use_pallas)
     flip = bool(use_pallas and packed and transposed)
     PM, BV = fused_pair_contract_i8(V8, YZ8, Z8, focus_axis,
                                     use_pallas=use_pallas,
@@ -1068,6 +1080,14 @@ def _quantize_pair_native(M, W):
     return (M8.reshape(M.shape), W8.reshape(W.shape), float(w_scale))
 
 
+# shared scale constant: an explicit MULTIPLY by the f32 reciprocal —
+# XLA rewrites a divide-by-constant to a reciprocal multiply only in
+# some graphs, which made the XLA and Pallas ytab paths differ by 1 ulp
+# in the scales (r4); the multiply form is rewrite-proof and identical
+# everywhere
+_INV127 = np.float32(1.0 / 127.0)
+
+
 def _quantize_cols(A: jax.Array, n_valid: Optional[int] = None):
     """Per-output-column symmetric int8 quantization (traced, per sweep).
 
@@ -1083,7 +1103,7 @@ def _quantize_cols(A: jax.Array, n_valid: Optional[int] = None):
     (and thus the quantized values and the exact-int32 dots) bitwise equal
     to the single-device engine's."""
     Av = A if n_valid is None else A[:n_valid]
-    s = _floor_scale(jnp.max(jnp.abs(Av), axis=0) / 127.0, A.dtype)
+    s = _floor_scale(jnp.max(jnp.abs(Av), axis=0) * _INV127, A.dtype)
     return _q8(A, s), s
 
 
@@ -1132,6 +1152,8 @@ def dense_gram_contrib(
     ridge_deg: Optional[jax.Array] = None,  # static [n_focus] observation
                                             # counts (int8 PD ridge)
     transposed: bool = False,
+    quant_pallas: bool = False,  # fused triangle-quantize kernel for the
+                                 # big partner table (bitwise-identical)
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
@@ -1223,7 +1245,15 @@ def dense_gram_contrib(
         # EXACT per-column scales for the big packed-triangle table (a
         # bound-product variant was ~2% faster but its ~2x-coarser steps
         # fed the instability below harder — reverted)
-        Yq = _quantize_cols(Uf[bi][:, iu] * Uf[bi][:, ju], nv[bi])
+        Uq = None
+        if quant_pallas and K <= 64:
+            from .pallas_ytab import ytab_quantize_pallas
+            YZ8_, s_ = ytab_quantize_pallas(Uf[bi], nv[bi])
+            C_ = YZ8_.shape[1] - K
+            Yq = (YZ8_[:, :C_], s_[:C_])
+            Uq = (YZ8_[:, C_:], s_[C_:])
+        else:
+            Yq = _quantize_cols(Uf[bi][:, iu] * Uf[bi][:, ju], nv[bi])
         Pt = contract(T, Yq,
                       [U[:, iu] * U[:, ju]
                        for i, U in enumerate(Uf) if i != bi], 1.0)
@@ -1249,7 +1279,8 @@ def dense_gram_contrib(
             else:
                 Pt = Pt.at[:, dc].add((rdeg[:, None] * step)
                                       .astype(out_dtype))
-        b = contract(Wt, _quantize_cols(Uf[bi], nv[bi]),
+        b = contract(Wt, Uq if Uq is not None
+                     else _quantize_cols(Uf[bi], nv[bi]),
                      [U for i, U in enumerate(Uf) if i != bi], w_scale)
         if packed:
             return Pt, b

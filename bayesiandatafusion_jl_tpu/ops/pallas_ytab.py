@@ -1,0 +1,148 @@
+"""Fused packed-triangle quantized-table kernel.
+
+The int8 Gramian paths quantize, per sweep, the partner table
+``Y = U[:, iu] * U[:, ju]`` ([n, K(K+1)/2], plus the raw factor block)
+against per-column max scales (ops/dense_gram._quantize_cols).  In XLA
+that is a lane-dim gather-expand to an [n, C] f32 table (1.01 GB at
+Netflix scale), a colmax reduce, and a round/clip pass — ~14 ms of the
+128 ms netflix sweep and 6.8/14.9 ms at K=64/96 on ML-10M (r4 profiler
++ probe data).  These kernels keep the f32 table IN REGISTERS: each row
+block reads only U ([bn, K]), expands the triangle via ONE-HOT
+selection matmuls (the canonical TPU static gather — each output column
+is a single exact f32 term), and either max-reduces (pass 1) or
+quantizes+writes int8 (pass 2).  HBM traffic drops from ~4 passes over
+the f32 table to two reads of U plus one int8 write.
+
+Bitwise-identical to the XLA path by construction: the same f32
+products, f32 max (exact, order-independent), and the one shared
+round/clip convention (dense_gram._q8) — so engine-parity invariants
+hold whichever path runs.  ``n_valid`` masks pad rows out of the scale
+computation exactly like ``_quantize_cols``'s prefix slice.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense_gram import _tri_maps
+
+# one-hot selector VMEM cost grows with K*C; cap at K=64 (C+K=2144)
+_MAX_K = 64
+
+
+def _pick_bn(ck: int) -> int:
+    """Row block: the in-register f32 working set (~3 copies of
+    [bn, CK]) must stay well under VMEM — bn=1024 at K<=32 (CK 560),
+    bn=256 at K=64 (CK 2144)."""
+    b = 1024
+    while b > 8 and 3 * b * ck * 4 > 8_000_000:
+        b //= 2
+    return b
+
+
+def _expand(u, si_ref, sj_ref):
+    """[bn, K] f32 -> [bn, C + K] via one-hot dots: the packed-triangle
+    products then the raw factor columns (the fused [Ypack | U] layout).
+    A one-hot dot selects exactly one f32 term per output — exact."""
+    yi = jnp.dot(u, si_ref[...], preferred_element_type=jnp.float32)
+    yj = jnp.dot(u, sj_ref[...], preferred_element_type=jnp.float32)
+    return jnp.concatenate([yi * yj, u], axis=1)
+
+
+def _kern_colmax(u_ref, si_ref, sj_ref, o_ref, *, bn, n_valid):
+    i = pl.program_id(0)
+    u = u_ref[...].astype(jnp.float32)
+    t = jnp.abs(_expand(u, si_ref, sj_ref))
+    if n_valid is not None:
+        row = i * bn + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        t = jnp.where(row < n_valid, t, 0.0)
+    m = jnp.max(t, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[...] = m
+
+    @pl.when(i > 0)
+    def _():
+        o_ref[...] = jnp.maximum(o_ref[...], m)
+
+
+def _kern_quant(u_ref, si_ref, sj_ref, s_ref, o_ref):
+    u = u_ref[...].astype(jnp.float32)
+    t = _expand(u, si_ref, sj_ref)
+    q = jnp.clip(jnp.round(t / s_ref[...]), -127.0, 127.0)
+    o_ref[...] = q.astype(jnp.int8)
+
+
+_sel_cache = {}
+
+
+def _selectors(K: int):
+    if K not in _sel_cache:
+        iu, ju, _ = _tri_maps(K)
+        C = len(iu)
+        Si = np.zeros((K, C), np.float32)
+        Sj = np.zeros((K, C), np.float32)
+        Si[iu, np.arange(C)] = 1.0
+        Sj[ju, np.arange(C)] = 1.0
+        _sel_cache[K] = (Si, Sj)
+    return _sel_cache[K]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def ytab_quantize_pallas(U: jax.Array, n_valid: int | None = None):
+    """(YZ8 [n, C+K] int8, scales [C+K] f32) — the fused path's
+    quantized [Ypack | U] operand, bitwise equal to
+    ``_quantize_cols(Uf[:, iu] * Uf[:, ju])`` + ``_quantize_cols(Uf)``
+    stacked.  K <= 64; rows are zero-padded to the block internally
+    (zero products affect neither the colmax nor the sliced output)."""
+    n, K = U.shape
+    assert K <= _MAX_K, (U.shape,)
+    Si, Sj = _selectors(K)
+    C = Si.shape[1]
+    CK = C + K
+    bn = _pick_bn(CK)
+    n_pad = -(-n // bn) * bn
+    if n_pad != n:
+        U = jnp.concatenate(
+            [U, jnp.zeros((n_pad - n, K), U.dtype)])
+    grid = (n_pad // bn,)
+    sel_specs = [
+        pl.BlockSpec((K, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    mx = pl.pallas_call(
+        functools.partial(_kern_colmax, bn=bn, n_valid=n_valid),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bn, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] + sel_specs,
+        out_specs=pl.BlockSpec((1, CK), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, CK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(U, Si, Sj)
+    from .dense_gram import _INV127, _floor_scale
+    s = _floor_scale(mx[0] * _INV127, jnp.float32)
+    YZ8 = pl.pallas_call(
+        _kern_quant,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + sel_specs + [
+            pl.BlockSpec((1, CK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, CK), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, CK), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(U, Si, Sj, s.reshape(1, CK))
+    return YZ8[:n], s

@@ -1027,8 +1027,9 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             if mode == 0:
                 if i8:
                     nv = problem.ent_meta[rs.entity_ids[1]].n
-                    YZ8, Z8, s_yz, s_z = dgx.fused_quantize(partners[0],
-                                                            nv)
+                    YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
+                        partners[0], nv,
+                        use_pallas=use_pallas_chol(cfg))
                     PM, BV = dgx.fused_pair_contract_i8(V8, YZ8, Z8, 0)
                     return dgx.fused_finish_i8(
                         PM, BV, s_yz, s_z, K, dtype, s_, m_,
@@ -1039,8 +1040,9 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                     packed=packed, transposed=transposed)
             meta0 = problem.ent_meta[rs.entity_ids[0]]
             if i8:
-                YZ8, Z8, s_yz, s_z = dgx.fused_quantize(partners[0],
-                                                        meta0.n)
+                YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
+                    partners[0], meta0.n,
+                    use_pallas=use_pallas_chol(cfg))
                 YZ8l = jax.lax.dynamic_slice_in_dim(
                     YZ8, me * meta0.n_loc, meta0.n_loc, 0)
                 Z8l = jax.lax.dynamic_slice_in_dim(
@@ -1119,7 +1121,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                             transposed=packed_trans,
                             w_scale=problem.dense_w_scale.get((ri, mode)),
                             n_valid=_dense_partner_n(problem, ri, mode),
-                            ridge_deg=sl_d.get("deg"))
+                            ridge_deg=sl_d.get("deg"),
+                            quant_pallas=use_pallas_chol(cfg))
                     packed_P = (alpha * P_p if packed_P is None
                                 else packed_P + alpha * P_p)
                     b_acc = b_acc + alpha * b_d
@@ -1180,7 +1183,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                         sl["M"], sl["W"], partners, 0, dims_sh, dtype, mdt,
                         w_scale=problem.dense_w_scale.get((ri, mode)),
                         n_valid=_dense_partner_n(problem, ri, mode),
-                        ridge_deg=sl.get("deg"))
+                        ridge_deg=sl.get("deg"),
+                        quant_pallas=use_pallas_chol(cfg))
                 P_acc = P_acc + alpha * P_d
                 b_acc = b_acc + alpha * b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]

@@ -321,6 +321,29 @@ def test_fused_i8_flip_finish_matches(monkeypatch):
         np.testing.assert_array_equal(outs[0][1], outs[1][1])
 
 
+def test_ytab_kernel_bitwise(monkeypatch):
+    """The fused triangle-quantize kernel must equal the XLA
+    _quantize_cols path BIT FOR BIT (same products, same exact f32 max,
+    same round/clip) — including n_valid masking and internal row
+    padding."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from bayesiandatafusion_jl_tpu.ops.pallas_ytab import \
+        ytab_quantize_pallas
+
+    rng = np.random.default_rng(91)
+    for K, n, nv in [(4, 37, None), (8, 40, 29), (32, 130, None),
+                     (32, 130, 100)]:
+        U = jnp.asarray(rng.standard_normal((n, K)).astype(np.float32))
+        YZ8, s = ytab_quantize_pallas(U, nv)
+        YZr, _Z, sr, _sz = dg.fused_quantize(U, nv, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(YZ8), np.asarray(YZr))
+        np.testing.assert_array_equal(np.asarray(s), np.asarray(sr))
+
+
 def test_device_build_chunked_matches_host(monkeypatch):
     """The chunked device scatter (TPU index-pad workaround) must equal the
     host build bit-for-bit, including OOB-dropped pad entries and the
