@@ -803,13 +803,19 @@ def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None,
 
     ``use_pallas`` routes through the fused triangle-quantize kernel
     (ops/pallas_ytab.py) — bitwise-identical output, ~4x less HBM
-    traffic (the [N, C] f32 table stays in registers)."""
+    traffic (the [N, C] f32 table stays in registers).  Engaged only
+    above a table-size threshold: the kernel boundary breaks XLA's
+    fusion of the quantize into the surrounding sweep, which cost
+    ~2.4 ms at ML-10M K=32 (table 37M cells) while netflix-scale tables
+    (254M cells) win 10+ ms (r4 e2e probes).  The gate needs no
+    engine-invariance — the kernel equals the XLA path bit for bit."""
     K = partner.shape[-1]
-    if use_pallas and K <= 64:
+    C = K * (K + 1) // 2
+    if (use_pallas and K <= 64
+            and partner.shape[0] * (C + K) >= _YTAB_MIN_CELLS):
         from .pallas_ytab import ytab_quantize_pallas
         YZ8, s_yz = ytab_quantize_pallas(partner.astype(jnp.float32),
                                          n_valid)
-        C = YZ8.shape[1] - K
         return YZ8, YZ8[:, C:], s_yz, s_yz[C:]
     iu, ju, _ = _tri_maps(K)
     Uf = partner.astype(jnp.float32)
@@ -1087,6 +1093,11 @@ def _quantize_pair_native(M, W):
 # everywhere
 _INV127 = np.float32(1.0 / 127.0)
 
+# quantized-table kernel engagement threshold, in table cells (n * CK):
+# below it the fusion-break cost of the pallas_call boundary outweighs
+# the in-register expand (r4 e2e probes; see fused_quantize docstring)
+_YTAB_MIN_CELLS = 2.0e8
+
 
 def _quantize_cols(A: jax.Array, n_valid: Optional[int] = None):
     """Per-output-column symmetric int8 quantization (traced, per sweep).
@@ -1246,10 +1257,11 @@ def dense_gram_contrib(
         # bound-product variant was ~2% faster but its ~2x-coarser steps
         # fed the instability below harder — reverted)
         Uq = None
-        if quant_pallas and K <= 64:
+        C_ = len(iu)
+        if (quant_pallas and K <= 64
+                and Uf[bi].shape[0] * (C_ + K) >= _YTAB_MIN_CELLS):
             from .pallas_ytab import ytab_quantize_pallas
             YZ8_, s_ = ytab_quantize_pallas(Uf[bi], nv[bi])
-            C_ = YZ8_.shape[1] - K
             Yq = (YZ8_[:, :C_], s_[:C_])
             Uq = (YZ8_[:, C_:], s_[C_:])
         else:

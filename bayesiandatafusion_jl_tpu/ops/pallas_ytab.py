@@ -7,11 +7,14 @@ that is a lane-dim gather-expand to an [n, C] f32 table (1.01 GB at
 Netflix scale), a colmax reduce, and a round/clip pass — ~14 ms of the
 128 ms netflix sweep and 6.8/14.9 ms at K=64/96 on ML-10M (r4 profiler
 + probe data).  These kernels keep the f32 table IN REGISTERS: each row
-block reads only U ([bn, K]), expands the triangle via ONE-HOT
-selection matmuls (the canonical TPU static gather — each output column
-is a single exact f32 term), and either max-reduces (pass 1) or
-quantizes+writes int8 (pass 2).  HBM traffic drops from ~4 passes over
-the f32 table to two reads of U plus one int8 write.
+block reads only U ([bn, K]) and expands the triangle with K static
+slice-broadcast multiplies (``np.triu_indices`` enumerates the packing
+row-major, so ``Y = concat_i(u[:, i:i+1] * u[:, i:])`` — plain exact
+f32 VPU ops; a one-hot-matmul variant was bitwise only at
+Precision.HIGHEST, whose 6-pass f32 emulation erased the win, r4
+probe).  Pass 1 max-reduces; pass 2 quantizes and writes int8.  HBM
+traffic drops from ~4 passes over the f32 table to two reads of U plus
+one int8 write.
 
 Bitwise-identical to the XLA path by construction: the same f32
 products, f32 max (exact, order-independent), and the one shared
@@ -29,35 +32,56 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .dense_gram import _tri_maps
-
-# one-hot selector VMEM cost grows with K*C; cap at K=64 (C+K=2144)
+# compile size grows with K (K concat pieces) and the in-register table
+# with K^2; cap at K=64 (C+K=2144)
 _MAX_K = 64
 
 
 def _pick_bn(ck: int) -> int:
-    """Row block: the in-register f32 working set (~3 copies of
-    [bn, CK]) must stay well under VMEM — bn=1024 at K<=32 (CK 560),
-    bn=256 at K=64 (CK 2144)."""
+    """Row block: Mosaic's stack holds ~6-7 [bn, CK] f32 copies of the
+    expanded table (concat pieces + abs/mask temporaries) — bn=1024 at
+    K=32 sat 376 KB over the 16 MB scoped-vmem limit (r4 probe); budget
+    ~4 MB of modeled 3-copy working set = bn=512 at K<=32, 128 at
+    K=64."""
     b = 1024
-    while b > 8 and 3 * b * ck * 4 > 8_000_000:
+    while b > 8 and 3 * b * ck * 4 > 4_000_000:
         b //= 2
     return b
 
 
-def _expand(u, si_ref, sj_ref):
-    """[bn, K] f32 -> [bn, C + K] via one-hot dots: the packed-triangle
-    products then the raw factor columns (the fused [Ypack | U] layout).
-    A one-hot dot selects exactly one f32 term per output — exact."""
-    yi = jnp.dot(u, si_ref[...], preferred_element_type=jnp.float32)
-    yj = jnp.dot(u, sj_ref[...], preferred_element_type=jnp.float32)
+def _expand(u, si, sj):
+    """[bn, K] f32 -> [bn, C + K]: packed-triangle products then the raw
+    factor columns (the fused [Ypack | U] layout).
+
+    The triangle expand is a STATIC lane gather.  The fast TPU form is a
+    one-hot selection matmul, but a plain f32 dot truncates U to bf16 on
+    the MXU (not bitwise) and Precision.HIGHEST's 6-pass emulation
+    erases the win (r4 probes: 1.6 ms inexact / 12.9 ms exact at
+    netflix scale; a slice-broadcast variant was exact but lane-
+    shuffle-bound at 17.6 ms).  This uses the classic 3-term bf16 SPLIT:
+    u == h1 + h2 + h3 exactly (8+8+8 significand bits cover f32's 24),
+    each one-hot bf16 x bf16 dot selects its term exactly (operands are
+    already bf16 — the MXU truncates nothing), and the f32 sums
+    reconstruct u exactly.  3x the (tiny) dot work, bitwise output."""
+    h1 = u.astype(jnp.bfloat16)
+    r1 = u - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def sel(S):
+        return (jnp.dot(h1, S, preferred_element_type=jnp.float32)
+                + jnp.dot(h2, S, preferred_element_type=jnp.float32)
+                + jnp.dot(h3, S, preferred_element_type=jnp.float32))
+
+    yi = sel(si)
+    yj = sel(sj)
     return jnp.concatenate([yi * yj, u], axis=1)
 
 
 def _kern_colmax(u_ref, si_ref, sj_ref, o_ref, *, bn, n_valid):
     i = pl.program_id(0)
     u = u_ref[...].astype(jnp.float32)
-    t = jnp.abs(_expand(u, si_ref, sj_ref))
+    t = jnp.abs(_expand(u, si_ref[...], sj_ref[...]))
     if n_valid is not None:
         row = i * bn + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
         t = jnp.where(row < n_valid, t, 0.0)
@@ -74,7 +98,7 @@ def _kern_colmax(u_ref, si_ref, sj_ref, o_ref, *, bn, n_valid):
 
 def _kern_quant(u_ref, si_ref, sj_ref, s_ref, o_ref):
     u = u_ref[...].astype(jnp.float32)
-    t = _expand(u, si_ref, sj_ref)
+    t = _expand(u, si_ref[...], sj_ref[...])
     q = jnp.clip(jnp.round(t / s_ref[...]), -127.0, 127.0)
     o_ref[...] = q.astype(jnp.int8)
 
@@ -84,13 +108,16 @@ _sel_cache = {}
 
 def _selectors(K: int):
     if K not in _sel_cache:
-        iu, ju, _ = _tri_maps(K)
+        iu, ju = np.triu_indices(K)
         C = len(iu)
         Si = np.zeros((K, C), np.float32)
         Sj = np.zeros((K, C), np.float32)
         Si[iu, np.arange(C)] = 1.0
         Sj[ju, np.arange(C)] = 1.0
-        _sel_cache[K] = (Si, Sj)
+        # numpy arrays (ml_dtypes bf16), NOT jnp — caching device arrays
+        # created inside a trace leaks tracers across jit calls
+        _sel_cache[K] = (Si.astype(jnp.bfloat16),
+                         Sj.astype(jnp.bfloat16))
     return _sel_cache[K]
 
 
@@ -104,7 +131,7 @@ def ytab_quantize_pallas(U: jax.Array, n_valid: int | None = None):
     n, K = U.shape
     assert K <= _MAX_K, (U.shape,)
     Si, Sj = _selectors(K)
-    C = Si.shape[1]
+    C = K * (K + 1) // 2
     CK = C + K
     bn = _pick_bn(CK)
     n_pad = -(-n // bn) * bn
