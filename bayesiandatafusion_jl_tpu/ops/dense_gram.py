@@ -964,11 +964,21 @@ def fused_gram_contrib_i8(
     use_pallas: bool = False,
     n_valid: Optional[int] = None,
     ridge_deg: Optional[jax.Array] = None,
+    keep_pad: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """s8 MXU variant of :func:`fused_gram_contrib` (same output
     conventions): per-sweep quantized partner operands, exact int32
     contraction at 2x the bf16 MXU rate, per-column dequantization.
-    Eligibility (:func:`fused_int8_ok`) is the caller's contract."""
+    Eligibility (:func:`fused_int8_ok`) is the caller's contract.
+
+    ``keep_pad`` (kernel-layout path only): return the KERNEL-PADDED
+    focus extent instead of stripping to the true count — the lane-dim
+    strip of the [CK, 480k] output is a ~3 ms copy at Netflix scale
+    (r4 profiler), while the pad columns are exact zeros the packed
+    sampler handles for free (Lambda is added in-kernel, so pad rows
+    draw from the prior and the caller slices the small [n_pad, K]
+    factor output instead).  ``ridge_deg`` must then cover the padded
+    extent (zero on pads)."""
     rdims = (tuple(int(d) for d in dims) if dims is not None
              else V8.shape)
     YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid,
@@ -980,7 +990,8 @@ def fused_gram_contrib_i8(
     return fused_finish_i8(PM, BV, s_yz, s_z, partner.shape[-1],
                            out_dtype, scale, shift, mean, packed=packed,
                            transposed=transposed,
-                           n_focus=rdims[focus_axis],
+                           n_focus=(None if (keep_pad and flip)
+                                    else rdims[focus_axis]),
                            ridge_deg=ridge_deg,
                            pre_transposed=flip)
 
