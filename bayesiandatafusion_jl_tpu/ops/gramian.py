@@ -64,13 +64,23 @@ def bucket_gramian(
     lanes = -(-K // 128) * 128              # TPU minor-dim tile padding
     transient = float(rows) * W * lanes * itemsize * len(partner_factors)
 
-    def block(parts_b, val_b, mask_b):
+    def fetch(U, p):
+        # tiny partner tables (tensor CONTEXT dims, typically <= 32
+        # instances) select via a one-hot matmul instead of a gather —
+        # the second gather stream halved arity-3 throughput (r4 probe
+        # at tensor_big shapes: 5.61 -> 2.88 ns/obs).  A one-hot dot is
+        # an exact single-term selection, so values equal the gather's.
+        if U.shape[0] <= 32:
+            oh = jax.nn.one_hot(p, U.shape[0], dtype=U.dtype)
+            return jnp.einsum("rwc,ck->rwk", oh, U)
         # promise_in_bounds skips gather bounds checks (~10% on TPU);
         # layout indices are validated at build time
-        z = partner_factors[0].at[parts_b[0]].get(
-            mode="promise_in_bounds")                      # [r, W, K]
+        return U.at[p].get(mode="promise_in_bounds")
+
+    def block(parts_b, val_b, mask_b):
+        z = fetch(partner_factors[0], parts_b[0])          # [r, W, K]
         for U, p in zip(partner_factors[1:], parts_b[1:]):
-            z = z * U.at[p].get(mode="promise_in_bounds")  # Hadamard
+            z = z * fetch(U, p)                            # Hadamard
         zm = z * mask_b[..., None].astype(z.dtype)
         P = jnp.einsum("rwk,rwl->rkl", zm, zm,
                        preferred_element_type=out_dtype)
