@@ -187,6 +187,24 @@ class ShardedProblem:
                 deg_tot[ent_index[id(e)]] += np.bincount(
                     rel.data.idx[:, d], minlength=e.count)
 
+        # kernel-friendly padding for fused-relation entities (r4): the
+        # Pallas masked-pair kernel wants the focus axis blockable at
+        # 256-multiples per device and the partner axis at
+        # 512-multiples (bf=128 made the focus-cols orientation
+        # bandwidth-bound, r3 probe), so their meshes round up to
+        # gran*n_dev instead of n_dev — at mesh=1 this reproduces the
+        # plain engine's (1024, 512)-class pads; the waste is <= gran
+        # rows/cols of zero int8 cells
+        pad_gran = [n_dev] * len(rd.entities)
+        if self.fused_rels and use_pallas_chol(config):
+            for ri in self.fused_rels:
+                eids_f = [ent_index[id(e)]
+                          for e in rd.relations[ri].entities]
+                pad_gran[eids_f[0]] = max(pad_gran[eids_f[0]],
+                                          256 * n_dev)
+                pad_gran[eids_f[1]] = max(pad_gran[eids_f[1]],
+                                          512 * n_dev)
+
         self.head_pos: List[np.ndarray] = []   # permuted POSITIONS of heads
         self.head_rank: List[Dict[int, int]] = []
         for ei, ent in enumerate(rd.entities):
@@ -194,7 +212,7 @@ class ShardedProblem:
             perm = instance_permutation(n, ei)
             inv = np.empty(n, np.int64)
             inv[perm] = np.arange(n)
-            n_pad = _ceil_to(n, n_dev)
+            n_pad = _ceil_to(n, pad_gran[ei])
             self.perms.append(perm)
             pos_of.append(inv)
             thr = resolve_head_split(config.head_split_degree,
@@ -249,15 +267,25 @@ class ShardedProblem:
                 vals_k = rel.data.vals if kp.all() else rel.data.vals[kp]
                 dims_pad = [self.ent_meta[eids[d]].n_pad
                             for d in range(rel.arity)]
-                e8 = dg.encode_fused_values(vals_k, s_, m_)
-                lin_p = (idx_k[:, 0].astype(np.int64) * dims_pad[1]
-                         + idx_k[:, 1])
-                V = np.zeros(dims_pad[0] * dims_pad[1], np.int8)
-                V[lin_p] = e8
                 meta0 = self.ent_meta[eids[0]]
-                arrays_sh["dense"][f"r{ri}"] = {"V8": jnp.asarray(
-                    V.reshape(n_dev, meta0.n_loc, dims_pad[1]))}
-                del V
+                if idx_k.shape[0] > 5_000_000:
+                    # netflix-scale: build V8 ON DEVICE from the COO
+                    # (the host build + 8.6 GB relay upload costs
+                    # minutes; the chunked device scatter ~10 s)
+                    Vd = dg.build_fused_values_device(
+                        idx_k, vals_k, (dims_pad[0], dims_pad[1]),
+                        s_, m_)
+                    arrays_sh["dense"][f"r{ri}"] = {"V8": Vd.reshape(
+                        n_dev, meta0.n_loc, dims_pad[1])}
+                else:
+                    e8 = dg.encode_fused_values(vals_k, s_, m_)
+                    lin_p = (idx_k[:, 0].astype(np.int64) * dims_pad[1]
+                             + idx_k[:, 1])
+                    V = np.zeros(dims_pad[0] * dims_pad[1], np.int8)
+                    V[lin_p] = e8
+                    arrays_sh["dense"][f"r{ri}"] = {"V8": jnp.asarray(
+                        V.reshape(n_dev, meta0.n_loc, dims_pad[1]))}
+                    del V
                 # fused s8 MXU variant: the SAME layout-invariant decision
                 # as the single-device engine (engine-parity invariant)
                 self.fused_i8[ri] = bool(
@@ -1024,45 +1052,56 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             dsl = loc(arrays_sh["dense"])[f"r{ri}"]
             V8 = dsl["V8"]
             i8 = problem.fused_i8.get(ri, False)
+            # r4: the masked-pair Pallas kernels run INSIDE shard_map on
+            # the local slab — the entity meshes are kernel-block padded
+            # at problem build (pad_gran), so both orientations block.
+            # flip emits the [CK, n_loc] kernel layout (still raw int32,
+            # still psum-able: scatter_dimension moves to 1).
+            up = use_pallas_chol(cfg)
+            flip = bool(up and packed and transposed)
             if mode == 0:
                 if i8:
                     nv = problem.ent_meta[rs.entity_ids[1]].n
                     YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
-                        partners[0], nv,
-                        use_pallas=use_pallas_chol(cfg))
-                    PM, BV = dgx.fused_pair_contract_i8(V8, YZ8, Z8, 0)
+                        partners[0], nv, use_pallas=up)
+                    PM, BV = dgx.fused_pair_contract_i8(
+                        V8, YZ8, Z8, 0, use_pallas=up, flip_out=flip)
                     return dgx.fused_finish_i8(
                         PM, BV, s_yz, s_z, K, dtype, s_, m_,
                         rs.mean_value, packed=packed,
-                        transposed=transposed, ridge_deg=dsl.get("deg_m0"))
+                        transposed=transposed,
+                        ridge_deg=dsl.get("deg_m0"),
+                        pre_transposed=flip)
                 return dgx.fused_gram_contrib(
                     V8, partners[0], 0, dtype, mdt, s_, m_, rs.mean_value,
-                    packed=packed, transposed=transposed)
+                    packed=packed, transposed=transposed, use_pallas=up)
             meta0 = problem.ent_meta[rs.entity_ids[0]]
             if i8:
                 YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
-                    partners[0], meta0.n,
-                    use_pallas=use_pallas_chol(cfg))
+                    partners[0], meta0.n, use_pallas=up)
                 YZ8l = jax.lax.dynamic_slice_in_dim(
                     YZ8, me * meta0.n_loc, meta0.n_loc, 0)
                 Z8l = jax.lax.dynamic_slice_in_dim(
                     Z8, me * meta0.n_loc, meta0.n_loc, 0)
-                PM_p, BV_p = dgx.fused_pair_contract_i8(V8, YZ8l, Z8l, 1)
+                PM_p, BV_p = dgx.fused_pair_contract_i8(
+                    V8, YZ8l, Z8l, 1, use_pallas=up, flip_out=flip)
+                sdd = 1 if flip else 0
                 PM_d = jax.lax.psum_scatter(PM_p, AXIS,
-                                            scatter_dimension=0,
+                                            scatter_dimension=sdd,
                                             tiled=True)
                 BV_d = jax.lax.psum_scatter(BV_p, AXIS,
-                                            scatter_dimension=0,
+                                            scatter_dimension=sdd,
                                             tiled=True)
                 return dgx.fused_finish_i8(
                     PM_d, BV_d, s_yz, s_z, K, dtype, s_, m_,
                     rs.mean_value, packed=packed, transposed=transposed,
-                    ridge_deg=dsl.get("deg_m1"))
+                    ridge_deg=dsl.get("deg_m1"),
+                    pre_transposed=flip)
             U0_loc = jax.lax.dynamic_slice_in_dim(
                 partners[0], me * meta0.n_loc, meta0.n_loc, 0)
             P_part, b_part = dgx.fused_gram_contrib(
                 V8, U0_loc, 1, dtype, mdt, s_, m_, rs.mean_value,
-                packed=packed, transposed=transposed)
+                packed=packed, transposed=transposed, use_pallas=up)
             sd = 1 if transposed else 0
             P_d = jax.lax.psum_scatter(P_part, AXIS,
                                        scatter_dimension=sd, tiled=True)
@@ -1097,7 +1136,11 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             for _a, _p, _ri, _mode, dims_sh_, plan_ in dense_contribs:
                 cells = float(np.prod(dims_sh_))
                 if plan_.kind == "fused":
-                    prefers = False
+                    # with the flip_out kernel (r4) fused modes emit the
+                    # [C, n_loc] kernel layout directly and PREFER the
+                    # transposed accumulator; the XLA fallback keeps
+                    # natural (its flipped masked einsum is 2.5x slower)
+                    prefers = bool(use_pallas_chol(cfg))
                 else:
                     prefers = (float(dims_sh_[0])
                                >= float(np.prod(dims_sh_[1:])))

@@ -327,7 +327,7 @@ def bench_fusion():
           dt=dt, m=m, flops=eng.problem.flops_per_sweep())
 
 
-def bench_netflix(gather=False, smoke=False, cont=False):
+def bench_netflix(gather=False, smoke=False, cont=False, sharded=False):
     """Config #6 (VERDICT r2 #1): the dense-pair-INELIGIBLE sparse regime.
 
     Netflix-prize-shaped: 480,189 users x 17,770 movies, 100,480,507
@@ -453,6 +453,28 @@ def bench_netflix(gather=False, smoke=False, cont=False):
         print(json.dumps(rec))
         return
     t0 = time.time()
+    if sharded:
+        # sparse-regime machinery-overhead proxy (like sharded1 for
+        # ML-10M): the shard_map engine with the fused kernels running
+        # inside the mapped body, mesh=1
+        import dataclasses
+
+        from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
+        from bayesiandatafusion_jl_tpu.parallel.sharded import (
+            ShardedMacauEngine)
+        cfg_s = dataclasses.replace(mk_cfg(), sweeps_per_dispatch=1)
+        eng = ShardedMacauEngine(rd, cfg_s, mesh=data_mesh())
+        assert eng.problem.fused_rels, "fused path did not engage"
+        print(f"# netflix sharded build: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        warm.join()
+        dt, m = _time_engine(eng, sweeps, "netflix-sharded1")
+        n_rows = sum(es.n for es in eng.problem.entity_specs)
+        rmse = m.get("rmse_at_sweeps", m["r0.rmse_sample"])
+        _emit(f"sharded mesh=1 netflix-shaped rows/s/chip (fused; "
+              f"rmse_sample@{sweeps}={rmse:.4f})", n_rows / dt,
+              dt=dt, m=m, flops=eng.problem.flops_per_sweep())
+        return
     eng = MacauEngine(rd, mk_cfg())
     assert eng.problem.fused_rels, "fused path did not engage"
     tag = "fused"
@@ -502,6 +524,8 @@ def main():
         bench_netflix(cont=True, smoke=smoke)
     elif cfg == "netflix_gather":
         bench_netflix(gather=True, smoke=smoke)
+    elif cfg == "netflix_sharded1":
+        bench_netflix(sharded=True, smoke=smoke)
     elif cfg == "sharded1":
         bench_ml("100k" if smoke else "10m", 10 if smoke else 40,
                  sharded=True)
