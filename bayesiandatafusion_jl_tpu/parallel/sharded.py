@@ -275,8 +275,15 @@ class ShardedProblem:
                     Vd = dg.build_fused_values_device(
                         idx_k, vals_k, (dims_pad[0], dims_pad[1]),
                         s_, m_)
-                    arrays_sh["dense"][f"r{ri}"] = {"V8": Vd.reshape(
-                        n_dev, meta0.n_loc, dims_pad[1])}
+                    # DONATED reshape: a plain .reshape to the leading
+                    # device axis materializes an 8.6 GB copy next to
+                    # the live 2-D buffer (OOM, r4); donation aliases it
+                    resh = jax.jit(
+                        lambda v: v.reshape(n_dev, meta0.n_loc,
+                                            dims_pad[1]),
+                        donate_argnums=0)
+                    arrays_sh["dense"][f"r{ri}"] = {"V8": resh(Vd)}
+                    del Vd
                 else:
                     e8 = dg.encode_fused_values(vals_k, s_, m_)
                     lin_p = (idx_k[:, 0].astype(np.int64) * dims_pad[1]
