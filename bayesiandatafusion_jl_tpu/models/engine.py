@@ -804,16 +804,24 @@ class MacauEngine(GibbsDriverMixin):
                         P_p, b_d = self._dense_mode_contrib(
                             arrays, ri, mode, plan, partners, dtype, mdt,
                             packed=True, transposed=trans,
-                            keep_pad=pad_keep)
-                        Pp_acc = (alpha * P_p if Pp_acc is None
-                                  else Pp_acc + alpha * P_p)
+                            keep_pad=pad_keep,
+                            alpha=(alpha if pad_keep else None))
+                        if pad_keep:
+                            # alpha already folded into the kernel's
+                            # dequant scales (in-kernel epilogue)
+                            Pp_acc = (P_p if Pp_acc is None
+                                      else Pp_acc + P_p)
+                        else:
+                            Pp_acc = (alpha * P_p if Pp_acc is None
+                                      else Pp_acc + alpha * P_p)
                         b_acc_c = b_acc
                         if b_d.shape[-1] != b_acc.shape[-1]:
                             b_acc_c = jnp.pad(
                                 b_acc,
                                 ((0, 0),
                                  (0, b_d.shape[-1] - b_acc.shape[-1])))
-                        b_acc = b_acc_c + alpha * b_d
+                        b_acc = b_acc_c + (b_d if pad_keep
+                                           else alpha * b_d)
                 n_eff = Pp_acc.shape[-1]
                 if contribs:
                     # hybrid residual (exact-valued gather buckets),
@@ -921,7 +929,7 @@ class MacauEngine(GibbsDriverMixin):
 
     def _dense_mode_contrib(self, arrays, ri, mode, plan, partners,
                             dtype, mdt, packed=False, transposed=False,
-                            keep_pad=False):
+                            keep_pad=False, alpha=None):
         """One dense mode's (P, b): the M/W pair path (bf16 or s8 MXU)
         or the single-array fused path (ops/dense_gram.fused_gram_contrib)
         per the compile-time plan kind."""
@@ -938,7 +946,7 @@ class MacauEngine(GibbsDriverMixin):
                     rs.mean_value, packed=packed, transposed=transposed,
                     dims=rdims, use_pallas=self.problem.fused_pallas,
                     ridge_deg=st.get(f"deg_m{mode}"),
-                    keep_pad=keep_pad)
+                    keep_pad=keep_pad, alpha=alpha)
             from ..ops.dense_gram import fused_gram_contrib
             return fused_gram_contrib(
                 st["V8"], partners[0], mode, dtype, mdt, s, m,

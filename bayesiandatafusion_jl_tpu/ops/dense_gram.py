@@ -965,6 +965,7 @@ def fused_gram_contrib_i8(
     n_valid: Optional[int] = None,
     ridge_deg: Optional[jax.Array] = None,
     keep_pad: bool = False,
+    alpha: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """s8 MXU variant of :func:`fused_gram_contrib` (same output
     conventions): per-sweep quantized partner operands, exact int32
@@ -984,16 +985,55 @@ def fused_gram_contrib_i8(
     YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid,
                                         use_pallas=use_pallas)
     flip = bool(use_pallas and packed and transposed)
+    if (flip and keep_pad and alpha is not None
+            and jnp.dtype(out_dtype) == jnp.float32):
+        # (f32 only: the kernel dequantizes in f32, while the f64
+        # engine-parity seam needs the fallback's f64 dequant)
+        # in-kernel dequant epilogue (r4): the kernel dequantizes with
+        # the ALPHA-FOLDED scales and splits Pt / mean-counts / BV at
+        # the last contraction step — deleting the downstream [CK, n]
+        # dequant pass, the 1 GB Pt sublane-slice split, AND the
+        # engine's alpha multiply (~9 ms/sweep at netflix scale).  The
+        # caller must NOT multiply by alpha again.
+        K = partner.shape[-1]
+        C = K * (K + 1) // 2
+        af = jnp.asarray(alpha, jnp.float32)
+        syz_e = s_yz.astype(jnp.float32) * af
+        sz_e = s_z.astype(jnp.float32) * af
+        from .pallas_fused import fused_pair_pallas
+        Pt, PMm, BVf = fused_pair_pallas(V8, YZ8, Z8, focus_axis,
+                                         flip_out=True,
+                                         dq=(syz_e, sz_e))
+        c1 = jnp.asarray(scale, out_dtype)
+        c0 = jnp.asarray(scale * shift - mean, out_dtype)
+        b = c1 * BVf.astype(out_dtype) + c0 * PMm.astype(out_dtype)
+        Pt = Pt.astype(out_dtype)
+        if ridge_deg is not None:
+            iu, ju, _ = _tri_maps(K)
+            dc = jnp.asarray(np.nonzero(iu == ju)[0])
+            step = jnp.mean(syz_e[:C]) * (0.5 * float(np.sqrt(K)))
+            rdeg = jnp.sqrt(ridge_deg.astype(jnp.float32)[:Pt.shape[1]])
+            Pt = Pt.at[dc, :].add((rdeg[None, :] * step)
+                                  .astype(out_dtype))
+        return Pt, b
     PM, BV = fused_pair_contract_i8(V8, YZ8, Z8, focus_axis,
                                     use_pallas=use_pallas,
                                     flip_out=flip)
-    return fused_finish_i8(PM, BV, s_yz, s_z, partner.shape[-1],
-                           out_dtype, scale, shift, mean, packed=packed,
-                           transposed=transposed,
-                           n_focus=(None if (keep_pad and flip)
-                                    else rdims[focus_axis]),
-                           ridge_deg=ridge_deg,
-                           pre_transposed=flip)
+    P_out, b_out = fused_finish_i8(
+        PM, BV, s_yz, s_z, partner.shape[-1],
+        out_dtype, scale, shift, mean, packed=packed,
+        transposed=transposed,
+        n_focus=(None if (keep_pad and flip) else rdims[focus_axis]),
+        ridge_deg=ridge_deg,
+        pre_transposed=flip)
+    if alpha is not None:
+        # the alpha-folded contract: output is pre-scaled whenever
+        # `alpha` is given (the dq epilogue above folds it into the
+        # kernel scales; this path applies it at the caller's dtype —
+        # the same multiply the engine used to do)
+        P_out = alpha * P_out
+        b_out = alpha * b_out
+    return P_out, b_out
 
 
 def int8_pair_ok(idx: np.ndarray, shape: Sequence[int]) -> bool:

@@ -177,6 +177,76 @@ def _kern_focus_cols_i8_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref):
         bv_ref[...] = bv_ref[...] + bv
 
 
+def _kern_focus_rows_i8_tq(w_ref, yz_ref, z_ref, syz_ref, sz_ref,
+                           pt_ref, pmm_ref, bv_ref, pm_acc, bv_acc, *,
+                           C):
+    """Dequanting flip variant (r4, plain-engine epilogue): accumulates
+    the EXACT int32 sums in scratch like _kern_focus_rows_i8_t, then at
+    the last contraction step dequantizes per column, SPLITS the packed
+    block from the mean-count columns, and writes all three f32 outputs
+    transposed — deleting the downstream [560, 480k] dequant pass and
+    the 1 GB Pt sublane-slice split (~6 ms/sweep at netflix scale).
+    Values bitwise-equal the fallback's (int32 -> f32) * scale."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    pm = jnp.dot(m, yz_ref[...], preferred_element_type=jnp.int32)
+    bv = jnp.dot(w8, z_ref[...], preferred_element_type=jnp.int32)
+
+    @pl.when(j == 0)
+    def _():
+        pm_acc[...] = pm
+        bv_acc[...] = bv
+
+    @pl.when(j > 0)
+    def _():
+        pm_acc[...] = pm_acc[...] + pm
+        bv_acc[...] = bv_acc[...] + bv
+
+    @pl.when(j == nj - 1)
+    def _():
+        pmf = pm_acc[...].astype(jnp.float32) * syz_ref[...]
+        pt_ref[...] = pmf[:, :C].T
+        pmm_ref[...] = pmf[:, C:].T
+        bv_ref[...] = (bv_acc[...].astype(jnp.float32)
+                       * sz_ref[...]).T
+
+
+def _kern_focus_cols_i8_tq(w_ref, yz_ref, z_ref, syz_ref, sz_ref,
+                           pt_ref, pmm_ref, bv_ref, pm_acc, bv_acc, *,
+                           C):
+    """Dequanting flip variant of the focus-cols kernel: int32 scratch
+    accumulation across the contraction grid, one dequant+split write at
+    the last step (outputs already [*, bf] from the operand swap)."""
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+    w8 = w_ref[...]
+    m = (w8 != 0).astype(jnp.int8)
+    dn = (((0,), (0,)), ((), ()))
+    pm = jax.lax.dot_general(yz_ref[...], m, dn,
+                             preferred_element_type=jnp.int32)
+    bv = jax.lax.dot_general(z_ref[...], w8, dn,
+                             preferred_element_type=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        pm_acc[...] = pm
+        bv_acc[...] = bv
+
+    @pl.when(i > 0)
+    def _():
+        pm_acc[...] = pm_acc[...] + pm
+        bv_acc[...] = bv_acc[...] + bv
+
+    @pl.when(i == ni - 1)
+    def _():
+        pmf = pm_acc[...].astype(jnp.float32) * syz_ref[...].T
+        pt_ref[...] = pmf[:C]
+        pmm_ref[...] = pmf[C:]
+        bv_ref[...] = (bv_acc[...].astype(jnp.float32) * sz_ref[...].T)
+
+
 def _kern_focus_rows_t(w_ref, yz_ref, z_ref, pm_ref, bv_ref,
                        pm_acc, bv_acc, *, op_dtype):
     """float flip_out focus-rows kernel (same scratch-transpose scheme as
@@ -272,7 +342,8 @@ def _kern_focus_cols(w_ref, yz_ref, z_ref, pm_ref, bv_ref, *, op_dtype):
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
                       focus_axis: int, pref_f: int = 1024,
-                      pref_c: int | None = None, flip_out: bool = False):
+                      pref_c: int | None = None, flip_out: bool = False,
+                      dq: tuple | None = None):
     """(PM [n_focus, CK], BV [n_focus, K]) from the stored int8 array —
     or, with ``flip_out=True``, the KERNEL layout (PM [CK, n_focus],
     BV [K, n_focus]) the packed Cholesky sampler consumes directly, so
@@ -307,9 +378,15 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     n0, n1 = V8.shape
     ck = YZ.shape[1]
     k = Z.shape[1]
+    C = ck - k
     op_dtype = YZ.dtype
     int8 = op_dtype == jnp.int8
     out_dt = jnp.int32 if int8 else jnp.float32
+    assert dq is None or (flip_out and int8), \
+        "dq epilogue is a flip_out int8 option"
+    if dq is not None:
+        syz = dq[0].astype(jnp.float32).reshape(1, ck)
+        sz = dq[1].astype(jnp.float32).reshape(1, k)
     if focus_axis == 0:
         bf = _pick_block(n0, pref_f, 8)
         bc = (_auto_contract_block(n1, bf, ck, k, 128,
@@ -319,6 +396,38 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
             bc = _pick_block(n1, 512, 128)
         assert bf and bc, (V8.shape, "not blockable")
         grid = (n0 // bf, n1 // bc)
+        if dq is not None:
+            return pl.pallas_call(
+                functools.partial(_kern_focus_rows_i8_tq, C=C),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bf, bc), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, ck), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, k), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, ck), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((C, bf), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, bf), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, bf), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[jax.ShapeDtypeStruct((C, n0), jnp.float32),
+                           jax.ShapeDtypeStruct((k, n0), jnp.float32),
+                           jax.ShapeDtypeStruct((k, n0), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((bf, ck), jnp.int32),
+                                pltpu.VMEM((bf, k), jnp.int32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary")),
+            )(V8, YZ, Z, syz, sz)
         if flip_out:
             kern = (_kern_focus_rows_i8_t if int8 else
                     functools.partial(_kern_focus_rows_t,
@@ -377,6 +486,38 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
         bc = _pick_block(n0, 1024, 8)
     assert bf and bc, (V8.shape, "not blockable")
     grid = (n1 // bf, n0 // bc)
+    if dq is not None:
+        return pl.pallas_call(
+            functools.partial(_kern_focus_cols_i8_tq, C=C),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bc, bf), lambda jf, i: (i, jf),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, ck), lambda jf, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bc, k), lambda jf, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ck), lambda jf, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k), lambda jf, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((C, bf), lambda jf, i: (0, jf),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bf), lambda jf, i: (0, jf),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bf), lambda jf, i: (0, jf),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((C, n1), jnp.float32),
+                       jax.ShapeDtypeStruct((k, n1), jnp.float32),
+                       jax.ShapeDtypeStruct((k, n1), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((ck, bf), jnp.int32),
+                            pltpu.VMEM((k, bf), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )(V8, YZ, Z, syz, sz)
     if flip_out:
         kern = (_kern_focus_cols_i8_t if int8 else
                 functools.partial(_kern_focus_cols_t, op_dtype=op_dtype))

@@ -440,6 +440,48 @@ def test_fused_i8_pallas_bitwise_equals_fallback(focus_axis, monkeypatch):
     np.testing.assert_array_equal(outs[0][1], W @ Z8.astype(np.int64))
 
 
+def test_fused_i8_dq_epilogue_matches(monkeypatch):
+    """The in-kernel dequant epilogue (alpha-folded scales, split f32
+    outputs) must match the raw-int32 + fallback-finish + alpha path to
+    f32 rounding — interpret mode, both orientations, padded focus
+    (keep_pad) against the stripped reference's real prefix."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(87)
+    n0, n1, K = 64, 256, 4
+    lin = rng.choice(n0 * n1, 900, replace=False)
+    idx = np.stack([lin // n1, lin % n1], 1)
+    vals = rng.integers(1, 6, 900).astype(np.float64)
+    mean = float(vals.mean())
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    V8 = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    alpha = jnp.asarray(2.5, jnp.float32)
+    for focus_axis in (0, 1):
+        nf = (n0, n1)[focus_axis]
+        n_partner = (n1, n0)[focus_axis]
+        U = rng.standard_normal((n_partner, K)).astype(np.float32)
+        deg = jnp.asarray(np.full(nf, 5.0, np.float32))
+        Pt_dq, b_dq = dg.fused_gram_contrib_i8(
+            jnp.asarray(V8), jnp.asarray(U), focus_axis,
+            jnp.float32, s, m, mean, packed=True, transposed=True,
+            use_pallas=True, keep_pad=True, alpha=alpha,
+            ridge_deg=deg)
+        Pt_f, b_f = dg.fused_gram_contrib_i8(
+            jnp.asarray(V8), jnp.asarray(U), focus_axis,
+            jnp.float32, s, m, mean, packed=True, transposed=True,
+            use_pallas=False, ridge_deg=deg)
+        sc = float(jnp.max(jnp.abs(Pt_f))) * 2.5
+        np.testing.assert_allclose(np.asarray(Pt_dq)[:, :nf],
+                                   2.5 * np.asarray(Pt_f),
+                                   atol=1e-5 * sc, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(b_dq)[:, :nf],
+                                   2.5 * np.asarray(b_f),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_engine_fused_i8_tracks_exact():
     """Engine-level: dense_int8 + fused relation engages the s8 variant
     (problem.fused_i8) and its short-chain RMSE trajectory tracks the
