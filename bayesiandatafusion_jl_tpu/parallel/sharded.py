@@ -1039,7 +1039,7 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
         gd = jnp.dtype(cfg.gram_dtype) if cfg.gram_dtype else None
 
         def fused_contrib(ri, mode, partners, mdt, packed=False,
-                          transposed=False):
+                          transposed=False, alpha=None):
             """Fused single-array mode under sharding: mode 0 contracts
             the local row slab (focus rows — no collectives); mode 1
             contracts the SHARDED axis against the owner's partner-row
@@ -1068,20 +1068,23 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             flip = bool(up and packed and transposed)
             if mode == 0:
                 if i8:
-                    nv = problem.ent_meta[rs.entity_ids[1]].n
-                    YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
-                        partners[0], nv, use_pallas=up)
-                    PM, BV = dgx.fused_pair_contract_i8(
-                        V8, YZ8, Z8, 0, use_pallas=up, flip_out=flip)
-                    return dgx.fused_finish_i8(
-                        PM, BV, s_yz, s_z, K, dtype, s_, m_,
+                    # mode 0 is collective-free (local slab), so with
+                    # `alpha` given it takes the same in-kernel dequant
+                    # epilogue as the plain engine (f32 only; the
+                    # contract is "output pre-scaled by alpha")
+                    return dgx.fused_gram_contrib_i8(
+                        V8, partners[0], 0, dtype, s_, m_,
                         rs.mean_value, packed=packed,
-                        transposed=transposed,
+                        transposed=transposed, use_pallas=up,
+                        n_valid=problem.ent_meta[rs.entity_ids[1]].n,
                         ridge_deg=dsl.get("deg_m0"),
-                        pre_transposed=flip)
-                return dgx.fused_gram_contrib(
+                        keep_pad=True, alpha=alpha)
+                P0, b0 = dgx.fused_gram_contrib(
                     V8, partners[0], 0, dtype, mdt, s_, m_, rs.mean_value,
                     packed=packed, transposed=transposed, use_pallas=up)
+                if alpha is not None:
+                    P0, b0 = alpha * P0, alpha * b0
+                return P0, b0
             meta0 = problem.ent_meta[rs.entity_ids[0]]
             if i8:
                 YZ8, Z8, s_yz, s_z = dgx.fused_quantize(
@@ -1099,11 +1102,14 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 BV_d = jax.lax.psum_scatter(BV_p, AXIS,
                                             scatter_dimension=sdd,
                                             tiled=True)
-                return dgx.fused_finish_i8(
+                P1, b1 = dgx.fused_finish_i8(
                     PM_d, BV_d, s_yz, s_z, K, dtype, s_, m_,
                     rs.mean_value, packed=packed, transposed=transposed,
                     ridge_deg=dsl.get("deg_m1"),
                     pre_transposed=flip)
+                if alpha is not None:
+                    P1, b1 = alpha * P1, alpha * b1
+                return P1, b1
             U0_loc = jax.lax.dynamic_slice_in_dim(
                 partners[0], me * meta0.n_loc, meta0.n_loc, 0)
             P_part, b_part = dgx.fused_gram_contrib(
@@ -1114,6 +1120,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                                        scatter_dimension=sd, tiled=True)
             b_d = jax.lax.psum_scatter(b_part, AXIS,
                                        scatter_dimension=sd, tiled=True)
+            if alpha is not None:
+                P_d, b_d = alpha * P_d, alpha * b_d
             return P_d, b_d
         # packed-triangle fast path (mirrors models/engine.py): all-dense
         # entity + unrolled Pallas sampler => P stays [n_loc, K(K+1)/2].
@@ -1160,9 +1168,17 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 with jax.named_scope(f"dense_r{ri}m{mode}"):
                     mdt = gd if gd is not None else dtype
                     if plan.kind == "fused":
+                        # alpha folds INTO the fused contribution (the
+                        # mode-0 in-kernel dequant epilogue needs it);
+                        # the accumulation below must not scale again
                         P_p, b_d = fused_contrib(ri, mode, partners, mdt,
                                                  packed=True,
-                                                 transposed=packed_trans)
+                                                 transposed=packed_trans,
+                                                 alpha=alpha)
+                        packed_P = (P_p if packed_P is None
+                                    else packed_P + P_p)
+                        b_acc = b_acc + b_d
+                        continue
                     else:
                         sl_d = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
                         P_p, b_d = dense_gram_contrib(
