@@ -786,7 +786,8 @@ def fused_abs_codes(vals: np.ndarray, s: float, m: int) -> np.ndarray:
 
 
 def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False,
+                   pad_rows: Optional[int] = None):
     """Per-sweep int8 quantization of the fused path's partner operands.
 
     Mirrors the pair path's scheme (:func:`_quantize_cols`: per-OUTPUT-
@@ -808,14 +809,19 @@ def fused_quantize(partner: jax.Array, n_valid: Optional[int] = None,
     fusion of the quantize into the surrounding sweep, which cost
     ~2.4 ms at ML-10M K=32 (table 37M cells) while netflix-scale tables
     (254M cells) win 10+ ms (r4 e2e probes).  The gate needs no
-    engine-invariance — the kernel equals the XLA path bit for bit."""
+    engine-invariance — the kernel equals the XLA path bit for bit.
+
+    ``pad_rows`` folds the contraction's partner-row zero-pad into the
+    ytab kernel (Pallas branch only — the XLA fallback returns the true
+    extent and the downstream concat pad covers it; pad rows are exact
+    zeros either way, so the two branches stay bitwise-compatible)."""
     K = partner.shape[-1]
     C = K * (K + 1) // 2
     if (use_pallas and K <= 64
             and partner.shape[0] * (C + K) >= _YTAB_MIN_CELLS):
         from .pallas_ytab import ytab_quantize_pallas
         YZ8, s_yz = ytab_quantize_pallas(partner.astype(jnp.float32),
-                                         n_valid)
+                                         n_valid, out_rows=pad_rows)
         return YZ8, YZ8[:, C:], s_yz, s_yz[C:]
     iu, ju, _ = _tri_maps(K)
     Uf = partner.astype(jnp.float32)
@@ -982,8 +988,9 @@ def fused_gram_contrib_i8(
     extent (zero on pads)."""
     rdims = (tuple(int(d) for d in dims) if dims is not None
              else V8.shape)
-    YZ8, Z8, s_yz, s_z = fused_quantize(partner, n_valid,
-                                        use_pallas=use_pallas)
+    YZ8, Z8, s_yz, s_z = fused_quantize(
+        partner, n_valid, use_pallas=use_pallas,
+        pad_rows=(int(V8.shape[1 - focus_axis]) if use_pallas else None))
     flip = bool(use_pallas and packed and transposed)
     if (flip and keep_pad and alpha is not None
             and jnp.dtype(out_dtype) == jnp.float32):

@@ -121,20 +121,27 @@ def _selectors(K: int):
     return _sel_cache[K]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def ytab_quantize_pallas(U: jax.Array, n_valid: int | None = None):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def ytab_quantize_pallas(U: jax.Array, n_valid: int | None = None,
+                         out_rows: int | None = None):
     """(YZ8 [n, C+K] int8, scales [C+K] f32) — the fused path's
     quantized [Ypack | U] operand, bitwise equal to
     ``_quantize_cols(Uf[:, iu] * Uf[:, ju])`` + ``_quantize_cols(Uf)``
     stacked.  K <= 64; rows are zero-padded to the block internally
-    (zero products affect neither the colmax nor the sliced output)."""
+    (zero products affect neither the colmax nor the sliced output).
+
+    ``out_rows`` (>= n) emits that many rows, the extras exact int8
+    zeros — the fused contraction needs the partner padded to V8's
+    contract extent, and folding the pad here deletes a downstream
+    [n, C+K] int8 concat copy (~1 ms at Netflix scale, r4)."""
     n, K = U.shape
     assert K <= _MAX_K, (U.shape,)
     Si, Sj = _selectors(K)
     C = K * (K + 1) // 2
     CK = C + K
     bn = _pick_bn(CK)
-    n_pad = -(-n // bn) * bn
+    n_out = n if out_rows is None else max(int(out_rows), n)
+    n_pad = -(-n_out // bn) * bn
     if n_pad != n:
         U = jnp.concatenate(
             [U, jnp.zeros((n_pad - n, K), U.dtype)])
@@ -172,4 +179,4 @@ def ytab_quantize_pallas(U: jax.Array, n_valid: int | None = None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(U, Si, Sj, s.reshape(1, CK))
-    return YZ8[:n], s
+    return YZ8[:n_out], s

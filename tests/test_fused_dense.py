@@ -342,6 +342,12 @@ def test_ytab_kernel_bitwise(monkeypatch):
         YZr, _Z, sr, _sz = dg.fused_quantize(U, nv, use_pallas=False)
         np.testing.assert_array_equal(np.asarray(YZ8), np.asarray(YZr))
         np.testing.assert_array_equal(np.asarray(s), np.asarray(sr))
+        # out_rows pad fold: same rows + exact-zero pads, same scales
+        YZ8p, sp = ytab_quantize_pallas(U, nv, out_rows=n + 37)
+        assert YZ8p.shape[0] == n + 37
+        np.testing.assert_array_equal(np.asarray(YZ8p[:n]), np.asarray(YZr))
+        assert not np.asarray(YZ8p[n:]).any()
+        np.testing.assert_array_equal(np.asarray(sp), np.asarray(sr))
 
 
 def test_device_build_chunked_matches_host(monkeypatch):
