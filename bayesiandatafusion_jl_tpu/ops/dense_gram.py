@@ -1007,6 +1007,17 @@ def fused_gram_contrib_i8(
         af = jnp.asarray(alpha, jnp.float32)
         syz_e = s_yz.astype(jnp.float32) * af
         sz_e = s_z.astype(jnp.float32) * af
+        if YZ8.shape[0] != V8.shape[1 - focus_axis]:
+            # the XLA-fallback quantize (ytab size gate declined, e.g.
+            # netflix mode 0's ~10M-cell partner table) returns the TRUE
+            # extent — zero-pad to the kernel's contract extent here
+            # (ADVICE r4 #1: the kernel's divisibility contract must not
+            # lean on V8's zero pad masking out-of-bounds block reads)
+            padn = V8.shape[1 - focus_axis] - YZ8.shape[0]
+            YZ8 = jnp.concatenate(
+                [YZ8, jnp.zeros((padn, YZ8.shape[1]), jnp.int8)])
+            Z8 = jnp.concatenate(
+                [Z8, jnp.zeros((padn, Z8.shape[1]), jnp.int8)])
         from .pallas_fused import fused_pair_pallas
         Pt, PMm, BVf = fused_pair_pallas(V8, YZ8, Z8, focus_axis,
                                          flip_out=True,

@@ -635,6 +635,19 @@ class ShardedProblem:
                     f += 2.0 * total_pad * (C + K)
                 else:
                     f += 2.0 * rs.nnz * (K * K + K)
+        for es in self.entity_specs:
+            if not es.has_features:
+                continue
+            N, F = float(es.n), float(es.num_features)
+            xpass = 2.0 * N * F * K
+            f += xpass
+            if es.use_ff:
+                f += F ** 3 / 3.0 + 2.0 * F * F * K + xpass
+            elif es.solver == "dual":
+                r = float(self.config.dual_refine)
+                f += 2.0 * xpass + (4.0 * (1.0 + r) + 2.0 * r) * N * N * K
+            else:
+                f += xpass
         return f
 
     def _shard_tuples(self, idx: np.ndarray, vals: np.ndarray, dtype):

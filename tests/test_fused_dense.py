@@ -488,6 +488,62 @@ def test_fused_i8_dq_epilogue_matches(monkeypatch):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_fused_i8_dq_ytab_branch_and_pad(monkeypatch):
+    """ADVICE r4 #1/#2 coverage: fused_gram_contrib_i8's dq-epilogue
+    integration with (a) the ytab Pallas quantize branch forced on
+    (_YTAB_MIN_CELLS=0 — CPU test sizes never reach the real gate) and
+    (b) the XLA-fallback quantize against a KERNEL-PADDED V8, where the
+    epilogue must zero-pad YZ8/Z8 to the contract extent itself rather
+    than lean on V8's pad cells masking out-of-bounds block reads.
+    Both must match the raw-int32 + fallback-finish reference."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    rng = np.random.default_rng(88)
+    n0, n1, K = 56, 232, 4
+    p0, p1 = 64, 256                      # kernel-padded stored dims
+    lin = rng.choice(n0 * n1, 800, replace=False)
+    idx = np.stack([lin // n1, lin % n1], 1)
+    vals = rng.integers(1, 6, 800).astype(np.float64)
+    mean = float(vals.mean())
+    s, m = dg.fused_pair_encode(idx, vals, (n0, n1))
+    V8 = np.zeros((p0, p1), np.int8)
+    V8[:n0, :n1] = dg.build_fused_values(idx, vals, (n0, n1), s, m)
+    alpha = jnp.asarray(1.75, jnp.float32)
+    for min_cells in (0.0, 1e18):         # ytab branch / XLA fallback
+        monkeypatch.setattr(dg, "_YTAB_MIN_CELLS", min_cells)
+        for focus_axis in (0, 1):
+            nf = (n0, n1)[focus_axis]
+            pf = (p0, p1)[focus_axis]
+            n_partner = (n1, n0)[focus_axis]
+            U = rng.standard_normal((n_partner, K)).astype(np.float32)
+            deg = np.zeros(pf, np.float32)
+            deg[:nf] = np.bincount(idx[:, focus_axis], minlength=nf)
+            Pt_dq, b_dq = dg.fused_gram_contrib_i8(
+                jnp.asarray(V8), jnp.asarray(U), focus_axis,
+                jnp.float32, s, m, mean, dims=(n0, n1),
+                packed=True, transposed=True,
+                use_pallas=True, keep_pad=True, alpha=alpha,
+                ridge_deg=jnp.asarray(deg))
+            assert Pt_dq.shape[1] == pf       # keep_pad: padded extent
+            Pt_f, b_f = dg.fused_gram_contrib_i8(
+                jnp.asarray(V8), jnp.asarray(U), focus_axis,
+                jnp.float32, s, m, mean, dims=(n0, n1),
+                packed=True, transposed=True,
+                use_pallas=False, ridge_deg=jnp.asarray(deg[:nf]))
+            sc = max(float(jnp.max(jnp.abs(Pt_f))), 1.0) * 1.75
+            np.testing.assert_allclose(np.asarray(Pt_dq)[:, :nf],
+                                       1.75 * np.asarray(Pt_f),
+                                       atol=1e-5 * sc, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(b_dq)[:, :nf],
+                                       1.75 * np.asarray(b_f),
+                                       atol=1e-4, rtol=1e-4)
+            # pad extent carries no observations: pure prior columns
+            assert not np.asarray(b_dq)[:, nf:].any()
+
+
 def test_engine_fused_i8_tracks_exact():
     """Engine-level: dense_int8 + fused relation engages the s8 variant
     (problem.fused_i8) and its short-chain RMSE trajectory tracks the
