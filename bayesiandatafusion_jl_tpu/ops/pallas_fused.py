@@ -388,10 +388,22 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
         syz = dq[0].astype(jnp.float32).reshape(1, ck)
         sz = dq[1].astype(jnp.float32).reshape(1, k)
     if focus_axis == 0:
+        # shrink the focus block until a contract block fits the VMEM
+        # budget: at K=64 (ck+k=2208) the flip/dq scratch accumulators
+        # alone are 18 MB at bf=1024 — the old flat 512 fallback compiled
+        # a 27 MB stack and died on the scoped-vmem limit (r5 probe)
         bf = _pick_block(n0, pref_f, 8)
-        bc = (_auto_contract_block(n1, bf, ck, k, 128,
-                                   out_bufs=2 if flip_out else 1)
-              if pref_c is None else _pick_block(n1, pref_c, 128))
+        bc = 0
+        while bf > 8:
+            bc = (_auto_contract_block(n1, bf, ck, k, 128,
+                                       out_bufs=2 if flip_out else 1)
+                  if pref_c is None else _pick_block(n1, pref_c, 128))
+            if bc:
+                break
+            nxt = _pick_block(n0, bf // 2, 8)
+            if nxt == bf:
+                break
+            bf = nxt
         if not bc:
             bc = _pick_block(n1, 512, 128)
         assert bf and bc, (V8.shape, "not blockable")
@@ -477,11 +489,22 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     # granule 256 (not 512) when flip_out shrinks the feasible set: at
     # netflix shapes the swap-scratch term rejects bc=3584 and granule
     # 512's next divisor is 1024; 256 admits 1792 (fewer accumulates)
-    bc = (_auto_contract_block(n0, bf, ck, k,
-                               256 if flip_out else 512,
-                               swap_scratch=flip_out)
-          if pref_c is None
-          else _pick_block(n0, pref_c, 8))        # contraction rows
+    bc = 0
+    while bf > 128:
+        # out_bufs=2 under flip: the tq kernels keep the int32 scratch
+        # accumulators resident NEXT to the output tiles
+        bc = (_auto_contract_block(n0, bf, ck, k,
+                                   256 if flip_out else 512,
+                                   out_bufs=2 if flip_out else 1,
+                                   swap_scratch=flip_out)
+              if pref_c is None
+              else _pick_block(n0, pref_c, 8))    # contraction rows
+        if bc:
+            break
+        nxt = _pick_block(n1, bf // 2, 128)
+        if nxt == bf:
+            break
+        bf = nxt
     if not bc:
         bc = _pick_block(n0, 1024, 8)
     assert bf and bc, (V8.shape, "not blockable")

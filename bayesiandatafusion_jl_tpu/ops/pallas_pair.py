@@ -60,7 +60,11 @@ def _auto_contract_block_pair(n_contract: int, bf: int, ck: int, k: int,
     for d in range(granule, min(n_contract, 4096) + 1, granule):
         if n_contract % d:
             continue
-        vmem = 2 * (2 * bf * d + d * (ck + k)) + 2 * 4 * bf * (ck + k)
+        # 3x the [bf, ck+k] f32 tile set: int32 scratch accumulators plus
+        # DOUBLE-BUFFERED output tiles — Mosaic double-buffers outputs
+        # too, which the first model missed (probe died 1.97 MB over the
+        # scoped limit at bf=512/bc=384, K=64)
+        vmem = 2 * (2 * bf * d + d * (ck + k)) + 3 * 4 * bf * (ck + k)
         if swap_scratch:
             vmem += 2 * d * (bf + ck + k)
         if vmem <= _VMEM_BUDGET:

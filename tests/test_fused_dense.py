@@ -544,6 +544,47 @@ def test_fused_i8_dq_ytab_branch_and_pad(monkeypatch):
             assert not np.asarray(b_dq)[:, nf:].any()
 
 
+def test_fused_tol_ab_same_data_quality():
+    """VERDICT r4 #5: pin the tol contract's quality cost with an A/B on
+    the SAME jittered (continuous-valued) data — fused dense_fused_tol
+    vs the exact-valued gather path.  The tol rounding perturbs only the
+    latent rhs by <= tol per observation (~1e-4 in rmse² at tol=0.02),
+    far below chain noise, so the two trajectories must agree closely;
+    the netflix_cont headline gap (0.7586 vs 0.7055) is the DATA's
+    jitter variance, not a tol-contract cost.  Also asserts the
+    planner's deterministic contract: max grid-rounding error <= tol."""
+    rng = np.random.default_rng(23)
+    n0, n1, r = 300, 200, 4
+    nnz = 12_000
+    lin = rng.choice(n0 * n1, nnz, replace=False)
+    idx = np.stack([lin // n1, lin % n1], 1)
+    U = rng.standard_normal((n0, r)) / np.sqrt(r)
+    V = rng.standard_normal((n1, r)) / np.sqrt(r)
+    grid = np.clip(np.rint(3.0 + 2.0 * np.sum(U[idx[:, 0]] * V[idx[:, 1]],
+                                              axis=1)), 1.0, 5.0)
+    vals = grid + rng.uniform(-0.2, 0.2, nnz)      # continuous: no grid
+    tol = 0.02
+    plan = dg.fused_pair_plan(idx, vals, (n0, n1), tol=tol)
+    assert plan is not None
+    s, m, keep = plan
+    q = np.rint(vals / s)
+    assert np.max(np.abs(vals - s * q)) <= tol + 1e-12   # the contract
+    rmses = {}
+    for label, kw in (("tol", dict(dense_fused=True, dense_fused_tol=tol,
+                                   dense_int8=True)),
+                      ("exact", dict(dense_gram=False))):
+        rd = bdf.RelationData.from_indexed_df(
+            bdf.IndexedDF(idx, vals.copy(), (n0, n1)))
+        rd.assign_to_test(0, 1500, seed=5)
+        res = bdf.macau(rd, num_latent=r, burnin=15, psamples=15,
+                        verbose=False, dtype="float64", seed=11, **kw)
+        rmses[label] = res["RMSE"]
+    if rmses["tol"] != rmses["tol"]:  # pragma: no cover
+        raise AssertionError("NaN rmse")
+    # both converge to the same quality; bound >> tol cost, << jitter arg
+    assert abs(rmses["tol"] - rmses["exact"]) < 0.03, rmses
+
+
 def test_engine_fused_i8_tracks_exact():
     """Engine-level: dense_int8 + fused relation engages the s8 variant
     (problem.fused_i8) and its short-chain RMSE trajectory tracks the
@@ -701,3 +742,51 @@ def test_engine_fused_auto_declines_when_pair_fits():
     from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
     eng = MacauEngine(rd, cfg)
     assert not eng.problem.fused_rels
+
+
+def test_pair_contract_pallas_matches_direct(monkeypatch):
+    """ops/pallas_pair (probe-stage kernel family, r5): both orientations
+    of the dequanting pair contraction must equal the direct integer
+    reference exactly (exact int32 sums, one f32 scale multiply).  The
+    kernel is NOT engine-wired — on-chip probes showed XLA's int8 pair
+    einsums already run at 259-347 TOP/s at ML-10M extents and the
+    kernel at 225-250, a documented negative result (ROUND5_NOTES) —
+    but the committed code stays correct under interpret mode."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    from bayesiandatafusion_jl_tpu.ops.pallas_pair import \
+        pair_contract_pallas
+    rng = np.random.default_rng(93)
+    n0, n1, K = 64, 256, 4
+    C = K * (K + 1) // 2
+    M8 = rng.integers(0, 3, (n0, n1)).astype(np.int8)
+    W8 = rng.integers(-127, 128, (n0, n1)).astype(np.int8)
+    YZ8_0 = rng.integers(-127, 128, (n0, C + K)).astype(np.int8)
+    Z8_0 = rng.integers(-127, 128, (n0, K)).astype(np.int8)
+    YZ8_1 = rng.integers(-127, 128, (n1, C + K)).astype(np.int8)
+    Z8_1 = rng.integers(-127, 128, (n1, K)).astype(np.int8)
+    s_yz = rng.uniform(0.5, 2.0, C + K).astype(np.float32)
+    s_z = rng.uniform(0.5, 2.0, K).astype(np.float32)
+    # focus rows: contract n1 against the [n1, .] tables
+    Pt, BV = pair_contract_pallas(
+        jnp.asarray(M8), jnp.asarray(W8), jnp.asarray(YZ8_1),
+        jnp.asarray(Z8_1), jnp.asarray(s_yz), jnp.asarray(s_z), 0)
+    ref_pm = (M8.astype(np.int64) @ YZ8_1.astype(np.int64))
+    ref_bv = (W8.astype(np.int64) @ Z8_1.astype(np.int64))
+    np.testing.assert_array_equal(
+        np.asarray(Pt), (ref_pm.astype(np.float32) * s_yz).T[:C])
+    np.testing.assert_array_equal(
+        np.asarray(BV), (ref_bv.astype(np.float32) * s_z).T)
+    # focus cols: contract n0
+    Pt1, BV1 = pair_contract_pallas(
+        jnp.asarray(M8), jnp.asarray(W8), jnp.asarray(YZ8_0),
+        jnp.asarray(Z8_0), jnp.asarray(s_yz), jnp.asarray(s_z), 1)
+    ref_pm1 = (M8.T.astype(np.int64) @ YZ8_0.astype(np.int64))
+    ref_bv1 = (W8.T.astype(np.int64) @ Z8_0.astype(np.int64))
+    np.testing.assert_array_equal(
+        np.asarray(Pt1), (ref_pm1.astype(np.float32) * s_yz).T[:C])
+    np.testing.assert_array_equal(
+        np.asarray(BV1), (ref_bv1.astype(np.float32) * s_z).T)
