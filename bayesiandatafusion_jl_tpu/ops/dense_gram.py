@@ -1234,6 +1234,15 @@ def dense_gram_contrib(
     transposed: bool = False,
     quant_pallas: bool = False,  # fused triangle-quantize kernel for the
                                  # big partner table (bitwise-identical)
+    store_dims: Optional[Sequence[int]] = None,  # physical (padded) dims
+                                 # of the stored pair; pad cells are
+                                 # exact zeros (engine pair_pad_dims)
+    alpha=None,                  # fold the relation precision into the
+                                 # dequant scales (s8 path) / output
+                                 # (float path): the caller must NOT
+                                 # multiply by alpha again — deletes the
+                                 # engine's [CK, N] alpha pass (~0.5 ms
+                                 # at ML-10M K=32, ~1.9 at K=64)
 ) -> Tuple[jax.Array, jax.Array]:
     """One mode's Gramian/rhs contribution (without alpha):
     P [n_focus, K, K], b [n_focus, K].  With ``packed=True`` P stays in
@@ -1260,6 +1269,28 @@ def dense_gram_contrib(
     K = partner_factors[0].shape[-1]
     assert not transposed or packed, "transposed requires packed=True"
     dims = tuple(int(d) for d in dims)
+    if store_dims is not None:
+        # sampler-granule-padded store (engine pair_pad_dims): run the
+        # whole contraction on the padded extents — pad cells are exact
+        # zero counts/values, so padded partner rows contribute nothing
+        # and padded focus rows emit P = 0 (Lambda-only prior draws the
+        # packed sampler handles; the engine slices the factors back).
+        # Zero rows don't change the per-column |max|, so the int8
+        # scales are bitwise the unpadded path's.
+        store_dims = tuple(int(d) for d in store_dims)
+        assert len(store_dims) == len(dims)
+        padded = []
+        for d, U in zip([s for i, s in enumerate(store_dims)
+                         if i != focus_axis], partner_factors):
+            if U.shape[0] != d:
+                U = jnp.concatenate(
+                    [U, jnp.zeros((d - U.shape[0], K), U.dtype)])
+            padded.append(U)
+        partner_factors = padded
+        true_focus = dims[focus_axis]
+        dims = store_dims
+    else:
+        true_focus = None
     T = M.reshape(dims)
     Wt = W.reshape(dims)
     letters = "abcdefgh"[:len(dims)]
@@ -1307,6 +1338,9 @@ def dense_gram_contrib(
             # slab's different S layout (hence reduce order) breaks the
             # 1e-8 engine-parity seam
             scale = (extra_scale * sa).astype(out_dtype)
+            if alpha is not None:
+                # alpha-folded contract (see the signature note)
+                scale = scale * jnp.asarray(alpha, out_dtype)
             S = (jnp.einsum(spec_i8, T8, A8,
                             preferred_element_type=jnp.int32)
                  .astype(out_dtype)
@@ -1353,6 +1387,8 @@ def dense_gram_contrib(
         if ridge_deg is not None:
             dc = jnp.asarray(np.nonzero(iu == ju)[0])
             step = (jnp.mean(Yq[1]) * (0.5 * float(np.sqrt(K))))
+            if alpha is not None:
+                step = step * alpha     # track the folded scales
             rdeg = jnp.sqrt(ridge_deg.astype(jnp.float32))
             if transposed:
                 Pt = Pt.at[dc, :].add((rdeg[None, :] * step)
@@ -1364,8 +1400,16 @@ def dense_gram_contrib(
                      else _quantize_cols(Uf[bi], nv[bi]),
                      [U for i, U in enumerate(Uf) if i != bi], w_scale)
         if packed:
+            # padded-store outputs keep the padded focus extent (the
+            # packed sampler consumes pads as prior rows for free)
             return Pt, b
         n_focus = dims[focus_axis]
+        if true_focus is not None and true_focus != n_focus:
+            # non-packed fallback: strip pads to the true extent
+            Pt, b = ((Pt[:, :true_focus], b[:, :true_focus])
+                     if transposed else
+                     (Pt[:true_focus], b[:true_focus]))
+            n_focus = true_focus
         P = jnp.take(Pt, jnp.asarray(expand), axis=1)
         return P.reshape(n_focus, K, K), b
     Us = [U.astype(op_dtype) for U in partner_factors]
@@ -1382,6 +1426,8 @@ def dense_gram_contrib(
         Ys = [U[:, iu] * U[:, ju] for U in Us]
         Pt = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
         b = jnp.einsum(spec, Wt, *Us, preferred_element_type=out_dtype)
+        if alpha is not None:
+            Pt, b = alpha * Pt, alpha * b
         return Pt, b
     if flop_saving_s > 2.0 * expand_cost_s:
         iu, ju, expand = _tri_maps(K)
@@ -1393,4 +1439,9 @@ def dense_gram_contrib(
               for U in Us]
         P = jnp.einsum(spec, T, *Ys, preferred_element_type=out_dtype)
     b = jnp.einsum(spec, Wt, *Us, preferred_element_type=out_dtype)
+    if true_focus is not None and true_focus != n_focus:
+        P, b = P[:true_focus], b[:true_focus]
+        n_focus = true_focus
+    if alpha is not None:
+        P, b = alpha * P, alpha * b
     return P.reshape(n_focus, K, K), b

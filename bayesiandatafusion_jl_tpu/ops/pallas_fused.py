@@ -47,7 +47,8 @@ _VMEM_BUDGET = 12_000_000  # bytes; c=3584 at Netflix scale (14 MB) OOMs
 
 def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
                          granule: int, out_bufs: int = 1,
-                         swap_scratch: bool = False) -> int:
+                         swap_scratch: bool = False,
+                         budget: float | None = None) -> int:
     """Largest ``granule``-multiple divisor of ``n_contract`` (<= 4096)
     whose per-step VMEM footprint — double-buffered int8 input blocks
     plus the resident int32 output tile — fits the budget.
@@ -67,13 +68,14 @@ def _auto_contract_block(n_contract: int, bf: int, ck: int, k: int,
     stack).  Without this term the engine program sat 44 KB over the
     16 MB scoped-vmem limit and failed to compile (r4 probe)."""
     best = 0
+    cap = _VMEM_BUDGET if budget is None else budget
     for d in range(granule, min(n_contract, 4096) + 1, granule):
         if n_contract % d:
             continue
         vmem = 2 * (bf * d + d * (ck + k)) + out_bufs * 4 * bf * (ck + k)
         if swap_scratch:
             vmem += d * (bf + ck + k)
-        if vmem <= _VMEM_BUDGET:
+        if vmem <= cap:
             best = d
     return best
 
@@ -395,8 +397,15 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
         bf = _pick_block(n0, pref_f, 8)
         bc = 0
         while bf > 8:
-            bc = (_auto_contract_block(n1, bf, ck, k, 128,
-                                       out_bufs=2 if flip_out else 1)
+            # flip paths: 3x the [bf, ck+k] f32 tile set resident (1x
+            # int32 scratch pair + DOUBLE-BUFFERED output tiles — Mosaic
+            # double-buffers outputs too, r5 probe) against a 14 MB cap
+            # (~2 MB measured Mosaic slop under the 16 MB scoped limit);
+            # the non-flip kernels keep the proven 12 MB/1-buffer model.
+            bc = (_auto_contract_block(
+                      n1, bf, ck, k, 128,
+                      out_bufs=3 if flip_out else 1,
+                      budget=14e6 if flip_out else None)
                   if pref_c is None else _pick_block(n1, pref_c, 128))
             if bc:
                 break
@@ -491,12 +500,13 @@ def fused_pair_pallas(V8: jax.Array, YZ: jax.Array, Z: jax.Array,
     # 512's next divisor is 1024; 256 admits 1792 (fewer accumulates)
     bc = 0
     while bf > 128:
-        # out_bufs=2 under flip: the tq kernels keep the int32 scratch
-        # accumulators resident NEXT to the output tiles
+        # out_bufs=3 under flip: int32 scratch + double-buffered output
+        # tiles (see the focus-rows note); 14 MB cap for flip paths
         bc = (_auto_contract_block(n0, bf, ck, k,
                                    256 if flip_out else 512,
-                                   out_bufs=2 if flip_out else 1,
-                                   swap_scratch=flip_out)
+                                   out_bufs=3 if flip_out else 1,
+                                   swap_scratch=flip_out,
+                                   budget=14e6 if flip_out else None)
               if pref_c is None
               else _pick_block(n0, pref_c, 8))    # contraction rows
         if bc:

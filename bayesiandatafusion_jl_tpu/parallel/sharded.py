@@ -204,6 +204,27 @@ class ShardedProblem:
                                           256 * n_dev)
                 pad_gran[eids_f[1]] = max(pad_gran[eids_f[1]],
                                           512 * n_dev)
+        if use_pallas_chol(config) and config.num_latent <= 96 \
+                and config.accumulation != "planned":
+            # big PAIR-dense entities: pad the shard mesh to the packed-
+            # sampler tile granule per device, so the slab contraction
+            # outputs arrive sampler-aligned — same per-sweep [CK, n_loc]
+            # pad-copy elimination as the plain engine's pair_pad_dims
+            # (r5; ~1.75 ms at ML-10M K=64).  Pad rows are zero cells.
+            from ..models.engine import (_PAIR_PAD_GRAN,
+                                         _PAIR_PAD_MIN_CELLS)
+            for ri, rel in enumerate(rd.relations):
+                if ri in self.fused_rels or rel.arity != 2:
+                    continue
+                cnts = [e.count for e in rel.entities]
+                if (float(cnts[0]) * cnts[1] < _PAIR_PAD_MIN_CELLS
+                        or not all((ri, m) in self.dense_plans
+                                   for m in range(2))):
+                    continue
+                for e in rel.entities:
+                    ei_ = ent_index[id(e)]
+                    pad_gran[ei_] = max(pad_gran[ei_],
+                                        _PAIR_PAD_GRAN * n_dev)
 
         self.head_pos: List[np.ndarray] = []   # permuted POSITIONS of heads
         self.head_rank: List[Dict[int, int]] = []
@@ -1201,10 +1222,11 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                             w_scale=problem.dense_w_scale.get((ri, mode)),
                             n_valid=_dense_partner_n(problem, ri, mode),
                             ridge_deg=sl_d.get("deg"),
-                            quant_pallas=use_pallas_chol(cfg))
-                    packed_P = (alpha * P_p if packed_P is None
-                                else packed_P + alpha * P_p)
-                    b_acc = b_acc + alpha * b_d
+                            quant_pallas=use_pallas_chol(cfg),
+                            alpha=alpha)   # folded into the scales (r5)
+                    packed_P = (P_p if packed_P is None
+                                else packed_P + P_p)
+                    b_acc = b_acc + b_d
             if contribs:
                 # hybrid residual buckets (exact values), packed so the
                 # fast path survives Netflix-scale hybrids (the full
@@ -1255,7 +1277,8 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
             with jax.named_scope(f"dense_r{ri}m{mode}"):
                 mdt = gd if gd is not None else dtype
                 if plan.kind == "fused":
-                    P_d, b_d = fused_contrib(ri, mode, partners, mdt)
+                    P_d, b_d = fused_contrib(ri, mode, partners, mdt,
+                                             alpha=alpha)
                 else:
                     sl = loc(arrays_sh["dense"])[f"r{ri}m{mode}"]
                     P_d, b_d = dense_gram_contrib(
@@ -1263,9 +1286,10 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                         w_scale=problem.dense_w_scale.get((ri, mode)),
                         n_valid=_dense_partner_n(problem, ri, mode),
                         ridge_deg=sl.get("deg"),
-                        quant_pallas=use_pallas_chol(cfg))
-                P_acc = P_acc + alpha * P_d
-                b_acc = b_acc + alpha * b_d
+                        quant_pallas=use_pallas_chol(cfg),
+                        alpha=alpha)       # folded into the scales (r5)
+                P_acc = P_acc + P_d
+                b_acc = b_acc + b_d
         xi_loc = rnd_sh[f"e{ei}.xi"]
         # --- sample + factor exchange, block-pipelined (SURVEY §7.7): the
         # local shard is sampled in `exchange_blocks` chunks and each

@@ -265,3 +265,47 @@ def test_pallas_chol_packed_transposed_matches_batchlead(interpret_pallas):
             jnp.asarray(xi), jnp.asarray(Lam), jitter=0.25,
             transposed=True))
         np.testing.assert_array_equal(got, want)
+
+
+def test_engine_pair_pad_store_matches_unpadded(interpret_pallas,
+                                                monkeypatch):
+    """Sampler-granule-padded pair store (engine pair_pad_dims, r5): the
+    packed pipeline on a padded M/W store must reproduce the unpadded
+    run — pad cells are exact zeros, pad rows draw the prior and are
+    sliced off.  Forced on at CPU test scale via the min-cells gate."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models import engine as eng_mod
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    rng = np.random.default_rng(17)
+    n1, n2 = 45, 30
+    R = rng.standard_normal((n1, n2))
+    mask = rng.random((n1, n2)) < 0.5
+
+    def build():
+        df = bdf.IndexedDF(np.stack(np.nonzero(mask), 1), R[mask],
+                           (n1, n2))
+        rd = bdf.RelationData.from_indexed_df(df)
+        rd.assign_to_test(0, 60, seed=2)
+        return rd
+
+    monkeypatch.setattr(eng_mod, "_PAIR_PAD_GRAN", 64)
+    for k_lat in (6, 34):     # unrolled and column-slab samplers
+        outs = {}
+        for min_cells in (0.0, 1e18):     # padded store / plain store
+            monkeypatch.setattr(eng_mod, "_PAIR_PAD_MIN_CELLS", min_cells)
+            cfg = MacauConfig(num_latent=k_lat, burnin=3, psamples=3,
+                              verbose=False, dtype="float32", seed=9,
+                              pallas="on", dense_gram=True)
+            eng = eng_mod.MacauEngine(build(), cfg)
+            if min_cells == 0.0:
+                assert eng.problem.pair_pad_dims == {0: (64, 64)}
+            else:
+                assert not eng.problem.pair_pad_dims
+            outs[min_cells] = eng.run()
+        np.testing.assert_allclose(outs[0.0]["RMSE"], outs[1e18]["RMSE"],
+                                   rtol=1e-5, atol=1e-5)
+        a = np.asarray(outs[0.0]["state"]["ent"][0]["U"])
+        b_ = np.asarray(outs[1e18]["state"]["ent"][0]["U"])
+        assert a.shape == b_.shape == (n1, k_lat)
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
