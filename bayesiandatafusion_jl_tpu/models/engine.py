@@ -35,7 +35,6 @@ from ..ops.spmv import bucketed_spmm
 from ..ops.dense_gram import dense_gram_contrib
 from ..ops.gramian import (assemble_precision,
                            assemble_precision_planned,
-                           ctx_gramian_on_host_layout,
                            predict_tuples)
 from ..ops.hyper import (normal_wishart_update, sample_alpha,
                          sample_lambda_beta)
@@ -103,10 +102,6 @@ class CompiledProblem:
         # bucket shape metadata per (relation, mode) key (static)
         self.layout_meta: Dict[str, List[Tuple[int, int]]] = {}
         host_inst: Dict[str, List[np.ndarray]] = {}
-        # ri -> piggyback spec for a tiny last-updated tensor mode whose
-        # Gramian rides the host mode's layout (ops/gramian.py
-        # ctx_gramian_on_host_layout; VERDICT r4 weak #3)
-        self.ctx_piggyback: Dict[int, Dict[str, int]] = {}
 
         # dense-MXU Gramian plan (ops/dense_gram.py): modes that replace the
         # observation gather with M @ Y matmuls skip the bucketed layout
@@ -266,36 +261,8 @@ class CompiledProblem:
             # to the fused mode's in the sweep
             resid = (np.nonzero(~self.fused_keep[ri])[0]
                      if ri in self.fused_keep else None)
-            # tiny-context piggyback (VERDICT r4 weak #3, the tensor_big
-            # mode-2 pass): an arity-3 gather relation whose LAST-updated
-            # mode t has extent <= 32 skips mode t's layout entirely —
-            # its Gramian is computed on the host mode h's buckets with
-            # z_t = U_a[part_a] o U_h[inst] (one gather instead of two
-            # 30M-row gathers + a whole third layout).  Requires distinct
-            # entities and update order a < h < t so both factor versions
-            # are exactly the ones the sequential-scan semantics demand.
-            pg_mode = None
-            if (rel.arity == 3 and resid is None
-                    and config.accumulation != "planned"
-                    and not any((ri, m) in self.dense_plans
-                                for m in range(3))):
-                eids_r = [ent_index[id(e)] for e in rel.entities]
-                cnts = [e.count for e in rel.entities]
-                t = int(np.argmin(cnts))
-                if (cnts[t] <= 32 and len(set(eids_r)) == 3
-                        and eids_r[t] == max(eids_r)):
-                    others = [m for m in range(3) if m != t]
-                    h = max(others, key=lambda m: eids_r[m])
-                    a = others[0] if h == others[1] else others[1]
-                    parts_order = [d for d in range(3) if d != h]
-                    self.ctx_piggyback[ri] = {
-                        "t": t, "h": h, "a": a,
-                        "a_pos": parts_order.index(a),
-                        "t_pos": parts_order.index(t)}
-                    pg_mode = t
             for mode in range(rel.arity):
-                if ((ri, mode) in self.dense_plans and resid is None) \
-                        or mode == pg_mode:
+                if (ri, mode) in self.dense_plans and resid is None:
                     key = f"r{ri}m{mode}"
                     self.layout_meta[key] = []
                     host_inst[key] = []
@@ -812,16 +779,9 @@ class MacauEngine(GibbsDriverMixin):
                 prior_mean = prior_mean + uhat
             contribs = []
             dense_contribs = []
-            pg_contribs = []
             for ri, rs in enumerate(rel_specs):
-                pgd = self.problem.ctx_piggyback.get(ri)
                 for mode in range(rs.arity):
                     if rs.entity_ids[mode] != ei:
-                        continue
-                    if pgd is not None and mode == pgd["t"]:
-                        # tiny-context mode: Gramian rides the host
-                        # mode's layout (no layout of its own)
-                        pg_contribs.append((rels[ri]["alpha"], ri, pgd))
                         continue
                     partners = [ents[rs.entity_ids[d]]["U"]
                                 for d in range(rs.arity) if d != mode]
@@ -845,7 +805,7 @@ class MacauEngine(GibbsDriverMixin):
             # (hybrid fused relations add their gather-path residual
             # buckets via packed_bucket_accum below, so `contribs` no
             # longer disables the packed path when dense modes exist)
-            if (fuse and K <= 96 and dense_contribs and not pg_contribs
+            if (fuse and K <= 96 and dense_contribs
                     and cfg.accumulation != "planned"):
                 from ..ops.pallas_chol import chol_sample_packed_dispatch
                 # Packed-layout orientation is a PER-MODE preference
@@ -968,21 +928,6 @@ class MacauEngine(GibbsDriverMixin):
                         alpha=alpha)
                     P_acc = P_acc + P_d
                     b_acc = b_acc + b_d
-            for alpha, ri, pgd in pg_contribs:
-                # tiny-context Gramian on the host mode's buckets
-                # (ops/gramian.ctx_gramian_on_host_layout) — already
-                # reduced to [n_ctx, K, K]
-                rs = rel_specs[ri]
-                Ua = ents[rs.entity_ids[pgd["a"]]]["U"]
-                Uh = ents[rs.entity_ids[pgd["h"]]]["U"]
-                with jax.named_scope(f"ctxpg_r{ri}"):
-                    for ba in arrays["layouts"][f"r{ri}m{pgd['h']}"]:
-                        P_t, b_t = ctx_gramian_on_host_layout(
-                            Ua, Uh, ba["part"][pgd["a_pos"]],
-                            ba["part"][pgd["t_pos"]], ba["inst"],
-                            ba["val"], ba["mask"], es.n, gram_dtype=gd)
-                        P_acc = P_acc + alpha * P_t.astype(P_acc.dtype)
-                        b_acc = b_acc + alpha * b_t.astype(b_acc.dtype)
             ent["U"] = chol_sample_dispatch(cfg, P_acc, b_acc,
                                             randoms[f"e{ei}.xi"],
                                             Lambda=lam_fused)

@@ -244,89 +244,6 @@ def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
     return Pp, b_acc
 
 
-def ctx_gramian_on_host_layout(
-    Ua: jax.Array,            # [N_a, K] the early big mode's factors
-    Uh: jax.Array,            # [N_h, K] the host mode's FRESH factors
-    part_a: jax.Array,        # [rows, W] int32 — i_a per slot (host layout)
-    part_c: jax.Array,        # [rows, W] int32 — tiny-mode ids per slot
-    inst: jax.Array,          # [rows] int32 — host instance per row
-    val: jax.Array,           # [rows, W] centered values
-    mask: jax.Array,          # [rows, W]
-    n_ctx: int,               # tiny-mode extent (<= 32)
-    gram_dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Tiny-context-mode Gramian computed ON the host mode's bucket
-    layout (r5, VERDICT r4 weak #3 / the tensor_big mode-2 pass): for an
-    arity-3 relation whose last-updated mode t has a tiny extent
-    (n_ctx <= 32, e.g. cell contexts), its per-instance precision
-
-        P_c = sum_{obs: i_t = c} (U_a[i_a] o U_h[i_h]) (...)^T
-
-    needs NO layout of its own: the HOST mode h's buckets already carry
-    (i_a, i_t, values, masks) per slot and the row instance IS i_h — so
-    z_t = U_a[part_a] o U_h[inst] is ONE big-table gather plus a per-row
-    broadcast, where mode t's own pass paid TWO 30M-row gathers (half
-    the tensor_big sweep).  The ctx reduction runs as a one-hot matmul
-    against the slot-flattened packed-triangle table (chunk-local
-    [slots, C] transient), never materializing per-ctx copies.
-
-    Returns (P [n_ctx, K, K], b [n_ctx, K]) — already reduced over the
-    layout, in the compute dtype of ``val``.  Row-chunked under the same
-    gather-transient budget as :func:`bucket_gramian` (chunk partials
-    reassociate the f32 sum; the rule is a pure function of shapes)."""
-    out_dtype = val.dtype
-    K = Ua.shape[-1]
-    if gram_dtype is not None:
-        Ua = Ua.astype(gram_dtype)
-        Uh = Uh.astype(gram_dtype)
-    rows, W = val.shape
-    itemsize = jnp.dtype(Ua.dtype).itemsize
-    # chunk on the BIGGEST per-chunk transient: the [slots, n_ctx*K]
-    # one-hot x factor operand (the first version budgeted only the
-    # gather transient and its [slots, K(K+1)/2] packed table reached
-    # 8.25 GB at tensor_big scale — HBM OOM, r5 probe)
-    lanes = -(-K // 128) * 128
-    per_row = W * max(lanes, n_ctx * K) * itemsize
-    n_chunks = max(1, min(int(np.ceil(
-        float(rows) * per_row / _GATHER_CHUNK_BYTES)), rows))
-    cr = -(-rows // n_chunks)
-    full = rows // cr
-    rem = rows - full * cr
-
-    def chunk(start, size, acc):
-        P_acc, b_acc = acc
-        pa = jax.lax.dynamic_slice_in_dim(part_a, start, size, 0)
-        pc = jax.lax.dynamic_slice_in_dim(part_c, start, size, 0)
-        it = jax.lax.dynamic_slice_in_dim(inst, start, size, 0)
-        vb = jax.lax.dynamic_slice_in_dim(val, start, size, 0)
-        mb = jax.lax.dynamic_slice_in_dim(mask, start, size, 0)
-        z = Ua.at[pa].get(mode="promise_in_bounds")        # [r, W, K]
-        z = z * Uh.at[it].get(mode="promise_in_bounds")[:, None, :]
-        zm = (z * mb[..., None].astype(z.dtype)).reshape(size * W, K)
-        oh = jax.nn.one_hot(pc.reshape(-1), n_ctx, dtype=zm.dtype)
-        # [slots, n_ctx, K] one-hot-masked copies -> ONE [cK, K] dot;
-        # the ctx selection is an exact 0/1 multiply, so values equal a
-        # per-ctx masked syrk
-        okh = (oh[:, :, None] * zm[:, None, :]).reshape(
-            size * W, n_ctx * K)
-        P = jnp.einsum("nm,nl->ml", okh, zm,
-                       preferred_element_type=out_dtype)
-        bv = jnp.einsum("nm,n->m", okh,
-                        vb.reshape(-1).astype(zm.dtype),
-                        preferred_element_type=out_dtype)
-        return (P_acc + P.reshape(n_ctx, K, K),
-                b_acc + bv.reshape(n_ctx, K))
-
-    acc = (jnp.zeros((n_ctx, K, K), out_dtype),
-           jnp.zeros((n_ctx, K), out_dtype))
-    if full:
-        acc = jax.lax.fori_loop(0, full,
-                                lambda i, a: chunk(i * cr, cr, a), acc)
-    if rem:
-        acc = chunk(full * cr, rem, acc)
-    return acc
-
-
 def plan_accumulation(inst_arrays: Sequence[np.ndarray], n: int):
     """Compile-time plan replacing the runtime scatter (host-side NumPy).
 

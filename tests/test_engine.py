@@ -495,55 +495,3 @@ def test_sweeps_per_dispatch_bit_identical(tmp_path):
     assert np.array_equal(a, b)
     import os
     assert os.path.exists(ck)
-
-
-def test_ctx_piggyback_engages_and_matches():
-    """Tiny last-updated tensor mode rides the host mode's layout
-    (VERDICT r4 weak #3): the plan engages exactly when the extent is
-    tiny AND the update order is a < h < t, skips the tiny mode's
-    layout, and the chain matches the plain path (layout built) at f64
-    tolerance."""
-    import bayesiandatafusion_jl_tpu as bdf
-    from bayesiandatafusion_jl_tpu.models.engine import MacauEngine
-    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
-
-    rng = np.random.default_rng(44)
-    shape = (40, 25, 6)
-    T = rng.standard_normal(shape)
-    mask = rng.random(shape) < 0.3
-    idx = np.stack(np.nonzero(mask), 1)
-
-    def build(order):
-        ents = [bdf.Entity(f"e{i}", count=shape[i]) for i in range(3)]
-        rd = bdf.RelationData()
-        rd.add_relation(bdf.IndexedDF(idx, T[mask], shape), "t", ents)
-        rd.assign_to_test("t", 200, seed=3)
-        return rd
-
-    cfg = MacauConfig(num_latent=3, verbose=False, dtype="float64",
-                      seed=9, burnin=3, psamples=3)
-    eng = MacauEngine(build(None), cfg)
-    assert eng.problem.ctx_piggyback == {
-        0: {"t": 2, "h": 1, "a": 0, "a_pos": 0, "t_pos": 1}}
-    assert eng.problem.layout_meta["r0m2"] == []     # no tiny-mode layout
-    res = eng.run()
-    # control: disable by the planned-accumulation gate (full layouts)
-    cfg2 = MacauConfig(num_latent=3, verbose=False, dtype="float64",
-                       seed=9, burnin=3, psamples=3,
-                       accumulation="planned")
-    eng2 = MacauEngine(build(None), cfg2)
-    assert not eng2.problem.ctx_piggyback
-    res2 = eng2.run()
-    # same RNG streams, same math, different summation order only
-    np.testing.assert_allclose(res["RMSE"], res2["RMSE"],
-                               rtol=1e-8, atol=1e-8)
-    # tiny mode FIRST: update order forbids the piggyback
-    shape_f = (6, 40, 25)
-    Tf = np.moveaxis(T, 2, 0)
-    mf = np.moveaxis(mask, 2, 0)
-    idxf = np.stack(np.nonzero(mf), 1)
-    ents = [bdf.Entity(f"f{i}", count=shape_f[i]) for i in range(3)]
-    rd = bdf.RelationData()
-    rd.add_relation(bdf.IndexedDF(idxf, Tf[mf], shape_f), "t", ents)
-    eng3 = MacauEngine(rd, cfg)
-    assert not eng3.problem.ctx_piggyback
