@@ -206,21 +206,34 @@ class CompiledProblem:
         # sliced off after the sampler).  Gated to configs where the
         # packed fast path is certain at build time.
         self.pair_pad_dims: Dict[int, Tuple[int, int]] = {}
+        # pad decisions are per ENTITY: every pair relation touching a
+        # padded entity must emit the SAME padded focus extent, or the
+        # packed accumulation of a multi-relation entity mixes widths
+        # (fusion-graph crash, r5: (528, 50000) + (528, 50176))
+        ent_pad: Dict[int, int] = {}
+        if (use_pallas_chol(config) and K <= 96
+                and config.accumulation != "planned"
+                and not self.fused_rels):
+            for ri in sorted(_dense_canon):
+                rel = rd.relations[ri]
+                cnts = [e.count for e in rel.entities]
+                if (rel.arity != 2
+                        or float(cnts[0]) * cnts[1] < _PAIR_PAD_MIN_CELLS):
+                    continue
+                for e in rel.entities:
+                    ei_ = ent_index[id(e)]
+                    ent_pad[ei_] = -(-e.count // _PAIR_PAD_GRAN) \
+                        * _PAIR_PAD_GRAN
         for ri in sorted(_dense_canon):
             rel = rd.relations[ri]
             dims_true = [e.count for e in rel.entities]
             pad_dims = None
-            if (rel.arity == 2 and use_pallas_chol(config) and K <= 96
-                    and config.accumulation != "planned"
-                    and not self.fused_rels
-                    and float(dims_true[0]) * dims_true[1]
-                    >= _PAIR_PAD_MIN_CELLS):
-                pad_dims = [-(-d // _PAIR_PAD_GRAN) * _PAIR_PAD_GRAN
-                            for d in dims_true]
-                if tuple(pad_dims) != tuple(dims_true):
-                    self.pair_pad_dims[ri] = tuple(pad_dims)
-                else:
-                    pad_dims = None
+            if rel.arity == 2 and ent_pad:
+                pd = [ent_pad.get(ent_index[id(e)], e.count)
+                      for e in rel.entities]
+                if tuple(pd) != tuple(dims_true):
+                    pad_dims = pd
+                    self.pair_pad_dims[ri] = tuple(pd)
             M, W = dg.build_dense_pair(
                 rel.data.idx, rel.data.vals - float(rel.data.vals.mean()),
                 pad_dims if pad_dims is not None else dims_true, store_np)

@@ -132,15 +132,14 @@ def _ml_engine(variant, sweeps, sharded=False):
                       gram_dtype="bfloat16", seed=42, bucket_widths=WIDTHS,
                       sweeps_per_dispatch=sweeps, dense_int8=True)
     if sharded:
-        import dataclasses
-
         from bayesiandatafusion_jl_tpu.parallel.mesh import data_mesh
         from bayesiandatafusion_jl_tpu.parallel.sharded import (
             ShardedMacauEngine)
-        # scan-batching the shard_map sweep re-triggers the fused-draw
-        # scheduling pathology (23.1 vs 20.4 ms/sweep at ML-10M mesh=1);
-        # the sharded engine keeps one dispatch per sweep
-        cfg = dataclasses.replace(cfg, sweeps_per_dispatch=1)
+        # r2-r4 pinned spd=1 here (scan-batching the shard_map sweep
+        # re-triggered a fused-draw scheduling pathology: 23.1 vs 20.4
+        # ms/sweep).  Re-measured at r5 HEAD: the pathology is GONE and
+        # scan-batching now wins (11.12 vs 11.20 ms at mesh=1) — the
+        # sharded bench batches like the plain one.
         return ShardedMacauEngine(rd, cfg, mesh=data_mesh()), df, path
     return MacauEngine(rd, cfg), df, path
 

@@ -309,3 +309,40 @@ def test_engine_pair_pad_store_matches_unpadded(interpret_pallas,
         b_ = np.asarray(outs[1e18]["state"]["ent"][0]["U"])
         assert a.shape == b_.shape == (n1, k_lat)
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_pair_pad_multirelation_consistent(interpret_pallas,
+                                                  monkeypatch):
+    """Per-ENTITY pad consistency (r5 fusion-graph crash): a big padded
+    pair sharing an entity with small unpadded pairs must emit ONE
+    padded extent for that entity across all its contributions."""
+    import bayesiandatafusion_jl_tpu as bdf
+    from bayesiandatafusion_jl_tpu.models import engine as eng_mod
+    from bayesiandatafusion_jl_tpu.utils.config import MacauConfig
+
+    rng = np.random.default_rng(29)
+    nc, nt, na = 50, 30, 20
+    c = bdf.Entity("c", count=nc)
+    t = bdf.Entity("t", count=nt)
+    a = bdf.Entity("a", count=na)
+    rd = bdf.RelationData()
+    for name, e2, n2 in (("big", t, nt), ("small", a, na)):
+        R = rng.standard_normal((nc, n2))
+        mask = rng.random((nc, n2)) < 0.6
+        rd.add_relation(bdf.IndexedDF(np.stack(np.nonzero(mask), 1),
+                                      R[mask], (nc, n2)), name, [c, e2])
+    rd.assign_to_test("big", 40, seed=2)
+    monkeypatch.setattr(eng_mod, "_PAIR_PAD_GRAN", 64)
+    # threshold between the two relations' cell counts: only "big" (1500
+    # cells) crosses it; "small" (1000) must still pad its shared c axis
+    monkeypatch.setattr(eng_mod, "_PAIR_PAD_MIN_CELLS", 1200.0)
+    cfg = MacauConfig(num_latent=5, burnin=3, psamples=3, verbose=False,
+                      dtype="float32", seed=3, pallas="on",
+                      dense_gram=True)
+    eng = eng_mod.MacauEngine(rd, cfg)
+    # both entities of the big relation pad; the small relation pads
+    # only its shared c axis
+    assert eng.problem.pair_pad_dims == {0: (64, 64), 1: (64, 20)}
+    res = eng.run()
+    assert np.isfinite(res["big"]["RMSE"])
+    assert np.asarray(res["state"]["ent"][0]["U"]).shape == (nc, 5)
