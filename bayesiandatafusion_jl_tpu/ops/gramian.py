@@ -159,16 +159,17 @@ def assemble_precision(
     return P_acc, b_acc
 
 
-# Packed-residual transient budget, in bytes of the per-bucket
-# [rows, K*K] Gramian block (the packed take roughly halves on top): a
-# Netflix-scale residual (~480k rows at K=32) materializes ~2 GB of P
-# plus ~1 GB of packed rows per bucket IN ADDITION to the 8.6 GB V8 and
-# the kernel outputs — the regime VERDICT r4 missing #2 calls out.  Rows
-# over the budget accumulate in CHUNKS, each segment-summed into the
-# persistent [n, C] accumulator, bounding the transient to ~budget while
-# streaming the accumulator once per chunk.  Deterministic in (rows, K)
-# alone, so the single-device and sharded engines chunk identically.
-_PACKED_CHUNK_BYTES = 1e9
+# Packed-residual transient budget, in bytes of the LARGER of the
+# per-bucket [rows, K, K] Gramian block and the [rows, W, 128-lane]
+# gather transient: a Netflix-scale residual (~228k rows x W=60 at
+# K=32) materializes ~3.5 GB of gathered partners + ~0.9 GB of P (x2
+# with the remat copy) IN ADDITION to the 8.6 GB V8 and the kernel
+# outputs — the first 1 GB P-only budget left the full-scale
+# netflix_dup 300 MB over HBM (r5 probe).  Rows over the budget
+# accumulate in CHUNKS, each segment-summed into the persistent [n, C]
+# accumulator.  Deterministic in (rows, W, K, dtypes) alone, so the
+# single-device and sharded engines chunk identically.
+_PACKED_CHUNK_BYTES = 5e8
 
 
 def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
@@ -197,10 +198,15 @@ def packed_bucket_accum(contribs, n: int, K: int, gram_dtype=None):
     Pp = None
     b_acc = None
     for alpha, partner_factors, ba in contribs:
-        rows = ba["val"].shape[0]
+        rows, W = ba["val"].shape
         itemsize = jnp.dtype(ba["val"].dtype).itemsize
+        g_item = (jnp.dtype(gram_dtype).itemsize if gram_dtype is not None
+                  else jnp.dtype(partner_factors[0].dtype).itemsize)
+        lanes = -(-K // 128) * 128
+        per_row = max(K * K * itemsize,
+                      W * lanes * g_item * len(partner_factors))
         n_chunks = max(1, min(int(np.ceil(
-            float(rows) * K * K * itemsize / _PACKED_CHUNK_BYTES)), rows))
+            float(rows) * per_row / _PACKED_CHUNK_BYTES)), rows))
         if n_chunks == 1:
             P, b = bucket_gramian(partner_factors, ba["part"], ba["val"],
                                   ba["mask"], gram_dtype=gram_dtype)
