@@ -907,7 +907,8 @@ def fused_finish_i8(PM: jax.Array, BV: jax.Array, s_yz: jax.Array,
                     packed: bool = False, transposed: bool = False,
                     n_focus: Optional[int] = None,
                     ridge_deg: Optional[jax.Array] = None,
-                    pre_transposed: bool = False):
+                    pre_transposed: bool = False,
+                    alpha=None):
     """Dequantize + center the raw int32 sums into (P, b).
 
     Applies the fused b identity ``b = s*(V8@Z) + (s*shift - mean)*(M@Z)``
@@ -919,10 +920,22 @@ def fused_finish_i8(PM: jax.Array, BV: jax.Array, s_yz: jax.Array,
     ``pre_transposed``: PM/BV arrive in the kernel layout [., n] from the
     flip_out Pallas kernel (requires ``transposed=True``) — the finish
     dequantizes along rows and emits (Pt [C, n], b [K, n]) with no
-    transpose anywhere."""
+    transpose anywhere.
+
+    ``alpha`` folds the relation precision into the dequant scales and
+    the b constants (r5) — one multiply instead of a separate
+    [C+K, n] alpha pass downstream; the caller must not scale again."""
     assert not transposed or packed, "transposed requires packed=True"
     assert not pre_transposed or transposed
     iu, ju, expand = _tri_maps(K)
+    if alpha is not None:
+        # fold into the per-column dequant scales ONLY: b is built from
+        # the already-scaled BVf/PMf blocks, so c1/c0 must stay unfolded
+        # (folding both would square alpha on b); the ridge step tracks
+        # mean(s_yz) and inherits the fold automatically
+        af = jnp.asarray(alpha, jnp.float32)
+        s_yz = s_yz.astype(jnp.float32) * af
+        s_z = s_z.astype(jnp.float32) * af
     c1 = jnp.asarray(scale, out_dtype)
     c0 = jnp.asarray(scale * shift - mean, out_dtype)
     if pre_transposed:
@@ -1037,18 +1050,21 @@ def fused_gram_contrib_i8(
     PM, BV = fused_pair_contract_i8(V8, YZ8, Z8, focus_axis,
                                     use_pallas=use_pallas,
                                     flip_out=flip)
+    # the alpha-folded contract: output is pre-scaled whenever `alpha`
+    # is given (the dq epilogue above folds it into the kernel scales;
+    # here it folds into the finish's dequant scales — no separate
+    # [C+K, n] multiply; f64 seams fall back to the out_dtype multiply
+    # so the parity reduction order stays at f64 scale)
+    f64 = jnp.dtype(out_dtype) == jnp.float64
     P_out, b_out = fused_finish_i8(
         PM, BV, s_yz, s_z, partner.shape[-1],
         out_dtype, scale, shift, mean, packed=packed,
         transposed=transposed,
         n_focus=(None if (keep_pad and flip) else rdims[focus_axis]),
         ridge_deg=ridge_deg,
-        pre_transposed=flip)
-    if alpha is not None:
-        # the alpha-folded contract: output is pre-scaled whenever
-        # `alpha` is given (the dq epilogue above folds it into the
-        # kernel scales; this path applies it at the caller's dtype —
-        # the same multiply the engine used to do)
+        pre_transposed=flip,
+        alpha=(None if f64 else alpha))
+    if alpha is not None and f64:
         P_out = alpha * P_out
         b_out = alpha * b_out
     return P_out, b_out

@@ -1136,12 +1136,14 @@ def _local_sweep(problem: ShardedProblem, arrays_sh, arrays_rep,
                 BV_d = jax.lax.psum_scatter(BV_p, AXIS,
                                             scatter_dimension=sdd,
                                             tiled=True)
+                f64 = jnp.dtype(dtype) == jnp.float64
                 P1, b1 = dgx.fused_finish_i8(
                     PM_d, BV_d, s_yz, s_z, K, dtype, s_, m_,
                     rs.mean_value, packed=packed, transposed=transposed,
                     ridge_deg=dsl.get("deg_m1"),
-                    pre_transposed=flip)
-                if alpha is not None:
+                    pre_transposed=flip,
+                    alpha=(None if f64 else alpha))
+                if alpha is not None and f64:
                     P1, b1 = alpha * P1, alpha * b1
                 return P1, b1
             U0_loc = jax.lax.dynamic_slice_in_dim(
